@@ -1,0 +1,135 @@
+"""System-identification benchmark datasets (offline-synthesized).
+
+The reference's demos use DaISy system-identification sets (actuator, drive(s),
+dryer, ball-beam) fetched over the network via `pods`/`GPy.util.datasets`
+(SURVEY.md S2.1 "Benchmark harness" [L], S2.2 "Datasets" [M]). This environment
+has **no network and no vendored .mat files** (SURVEY.md S7 hard-part 7), so
+each dataset here is *synthesized from published difference equations* with a
+fixed seed — recorded in BASELINE.md per its protocol. The free-simulation RMSE
+acceptance criterion therefore compares the TPU run against this repo's own CPU
+f64 reference run on the identical data, per BASELINE.md.
+
+Systems:
+
+* ``actuator``  — hydraulic-actuator-like SISO NARX system: second-order linear
+  resonance with a saturating (tanh) valve nonlinearity driven by a random
+  telegraph input; shapes match DaISy actuator (T=1024, split 512/512).
+* ``drives``    — the classic nonlinear benchmark of Chen/Billings-style
+  exponential-autoregressive form used throughout the system-id literature,
+  with input cross-terms; T=500, split 250/250 (matching the Drives demo scale).
+* ``narendra``  — Narendra & Parthasarathy (1990) example:
+  x_{k+1} = x_k / (1 + x_k^2) + u_k^3, y = x.
+* ``long_corpus`` — long multisine-driven sequence for throughput/minibatch
+  benchmarks (config 4, BASELINE.json:10).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+__all__ = ["SysIdData", "actuator", "drives", "narendra", "long_corpus", "load"]
+
+
+class SysIdData(NamedTuple):
+    u_train: np.ndarray  # (T_train, Du)
+    y_train: np.ndarray  # (T_train, Dy)
+    u_test: np.ndarray
+    y_test: np.ndarray
+    name: str
+
+
+def _telegraph(rng, T, p_switch=0.03, levels=(-1.0, 1.0)):
+    """Random telegraph signal (piecewise-constant input, DaISy-style)."""
+    u = np.empty(T)
+    level = rng.choice(levels)
+    for t in range(T):
+        if rng.uniform() < p_switch:
+            level = rng.choice(levels)
+        u[t] = level + 0.1 * rng.standard_normal()
+    return u
+
+
+def _multisine(rng, T, n_sin=12, fmax=0.15):
+    t = np.arange(T)
+    freqs = rng.uniform(0.002, fmax, n_sin)
+    phases = rng.uniform(0, 2 * np.pi, n_sin)
+    amps = rng.uniform(0.3, 1.0, n_sin)
+    return (amps[:, None] * np.sin(2 * np.pi * freqs[:, None] * t + phases[:, None])).sum(0)
+
+
+def actuator(T: int = 1024, seed: int = 11, noise: float = 0.02) -> SysIdData:
+    rng = np.random.default_rng(seed)
+    u = _telegraph(rng, T)
+    y = np.zeros(T)
+    for k in range(2, T):
+        y[k] = (
+            1.45 * y[k - 1]
+            - 0.6 * y[k - 2]
+            + 0.8 * np.tanh(1.5 * u[k - 1])
+            - 0.4 * np.tanh(1.5 * u[k - 2])
+            - 0.05 * y[k - 1] ** 2 * np.sign(y[k - 1]) * 0.1
+            + noise * rng.standard_normal()
+        )
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "actuator")
+
+
+def drives(T: int = 500, seed: int = 7, noise: float = 0.02) -> SysIdData:
+    rng = np.random.default_rng(seed)
+    u = _multisine(rng, T, n_sin=8, fmax=0.08)
+    u = u / (np.abs(u).max() + 1e-12)
+    y = np.zeros(T)
+    for k in range(2, T):
+        e1 = np.exp(-(y[k - 1] ** 2))
+        y[k] = (
+            (0.8 - 0.5 * e1) * y[k - 1]
+            - (0.3 + 0.9 * e1) * y[k - 2]
+            + u[k - 1]
+            + 0.2 * u[k - 2]
+            + 0.1 * u[k - 1] * u[k - 2]
+            + noise * rng.standard_normal()
+        )
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "drives")
+
+
+def narendra(T: int = 600, seed: int = 3, noise: float = 0.0) -> SysIdData:
+    rng = np.random.default_rng(seed)
+    u = np.sin(2 * np.pi * np.arange(T) / 25.0) + 0.3 * rng.standard_normal(T) * 0
+    x = np.zeros(T)
+    for k in range(1, T):
+        x[k] = x[k - 1] / (1 + x[k - 1] ** 2) + u[k - 1] ** 3
+    y = x + noise * rng.standard_normal(T)
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "narendra")
+
+
+def long_corpus(T: int = 16384, seed: int = 23, noise: float = 0.05) -> SysIdData:
+    """Long sequence for minibatch/data-parallel throughput (config 4)."""
+    rng = np.random.default_rng(seed)
+    u = _multisine(rng, T, n_sin=24, fmax=0.2)
+    y = np.zeros(T)
+    for k in range(2, T):
+        y[k] = (
+            0.7 * y[k - 1]
+            - 0.2 * y[k - 2]
+            + np.sin(y[k - 1]) * 0.3
+            + 0.8 * u[k - 1]
+            + noise * rng.standard_normal()
+        )
+    h = (T * 3) // 4
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "long_corpus")
+
+
+_REGISTRY = {
+    "actuator": actuator,
+    "drives": drives,
+    "narendra": narendra,
+    "long_corpus": long_corpus,
+}
+
+
+def load(name: str, **kw) -> SysIdData:
+    return _REGISTRY[name](**kw)

@@ -1,0 +1,161 @@
+"""Dense linear algebra for GP inference on TPU.
+
+TPU-native replacement for the reference's BLAS/LAPACK utility layer
+(`GPy:GPy/util/linalg.py` [H]: ``jitchol``, ``dpotrs``, ``dtrtrs``, ``pdinv``,
+``backsub_both_sides``, ``tdot`` — SURVEY.md S2.2/N1). All ops lower to XLA's
+MXU-backed ``lax.linalg`` kernels, batch with ``vmap``, and differentiate with
+built-in JVP/VJP rules (replacing `GPy:GPy/util/choleskies_cython.pyx`, N3).
+
+Numerics policy (SURVEY.md S7 hard-part 1): TPU runs f32, the reference ran f64
+CPU. Matmuls feeding Cholesky/solves therefore always use ``precision=HIGHEST``
+(guide: "Missing preferred_element_type" pitfall) and jitchol retries with an
+escalating jitter schedule inside a ``lax.while_loop`` instead of LAPACK's
+info-code exception loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "hdot",
+    "tdot",
+    "default_jitter",
+    "jitchol",
+    "solve_triangular",
+    "cho_solve",
+    "backsub_both_sides",
+    "pdinv",
+    "log_det_from_chol",
+]
+
+# Highest-precision matmul: on TPU this uses the multi-pass f32 MXU path; GP
+# bounds are far too ill-conditioned for the default bf16 single-pass.
+_PREC = lax.Precision.HIGHEST
+
+
+def hdot(a, b):
+    """Matmul at HIGHEST precision with f32 accumulation (MXU, multi-pass)."""
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def tdot(a):
+    """A @ A.T at high precision (reference ``tdot``, i.e. dsyrk)."""
+    return jnp.matmul(a, jnp.swapaxes(a, -1, -2), precision=_PREC)
+
+
+def _add_jitter(A, jitter):
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+    return A + jitter[..., None, None] * eye
+
+
+def default_jitter(dtype) -> float:
+    """Dtype-aware jitter floor: f64 matches the reference's 1e-6; f32 (the TPU
+    path) needs a larger floor to keep Kmm factorizable (SURVEY.md S7 hard-part 1)."""
+    return 1e-6 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
+
+
+def jitchol(A, jitter0: float = 1e-6, max_tries: int = 8):
+    """Cholesky with escalating-jitter retry (reference ``jitchol`` [H]).
+
+    LAPACK raises on indefinite input; XLA instead returns NaN rows. We detect
+    NaN and retry with 10x jitter inside ``lax.while_loop`` so only the needed
+    factorization(s) execute. Jitter is scaled by mean(diag(A)) like the
+    reference. Batched: leading dims broadcast; the loop runs until every batch
+    element succeeds (failed elements get progressively more jitter; already
+    successful elements keep their factor via ``jnp.where``).
+
+    Returns the lower-triangular factor L with ``L @ L.T ~= A + jitter*I``.
+    """
+    A = jnp.asarray(A)
+    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    scale = jnp.maximum(diag_mean, jnp.asarray(1e-30, A.dtype))
+    jitter0 = jnp.asarray(jitter0, A.dtype)
+
+    # Phase 1 (non-differentiable): find, per batch element, the smallest jitter
+    # in the 10x escalation schedule whose factorization succeeds. while_loop has
+    # no reverse rule, so this search runs under stop_gradient.
+    def _find_jitter(A_sg):
+        def _failed(L):
+            return jnp.isnan(L).any(axis=(-2, -1))
+
+        def attempt(jit_per_elt):
+            return jnp.linalg.cholesky(_add_jitter(A_sg, jit_per_elt * scale))
+
+        j0 = jnp.broadcast_to(jitter0, scale.shape)
+        L0 = attempt(j0)
+
+        def cond(carry):
+            jit, fail, i = carry
+            return jnp.logical_and(i < max_tries, fail.any())
+
+        def body(carry):
+            jit, fail, i = carry
+            jit = jnp.where(fail, jit * 10.0, jit)
+            fail = _failed(attempt(jit))
+            return jit, fail, i + 1
+
+        jit, _, _ = lax.while_loop(cond, body, (j0, _failed(L0), jnp.asarray(0)))
+        return jit
+
+    jitter = lax.stop_gradient(_find_jitter(lax.stop_gradient(A)))
+    # Phase 2 (differentiable): one Cholesky at the selected jitter level;
+    # gradients flow through XLA's built-in Cholesky JVP/VJP.
+    return jnp.linalg.cholesky(_add_jitter(A, jitter * scale))
+
+
+def solve_triangular(L, B, *, lower: bool = True, trans: bool = False):
+    """Triangular solve (reference ``dtrtrs``): solves op(L) X = B.
+
+    ``trans=True`` solves L^T X = B. Batched over leading dims.
+    """
+    return lax.linalg.triangular_solve(
+        L,
+        B,
+        left_side=True,
+        lower=lower,
+        transpose_a=trans,
+        conjugate_a=False,
+    )
+
+
+def cho_solve(L, B):
+    """Solve A X = B given L = chol(A) (reference ``dpotrs``)."""
+    y = solve_triangular(L, B, lower=True, trans=False)
+    return solve_triangular(L, y, lower=True, trans=True)
+
+
+def backsub_both_sides(L, X, transpose: str = "left"):
+    """Reference ``backsub_both_sides``: congruence transform by L^{-1}.
+
+    ``transpose='left'``  -> L^{-T} X L^{-1}
+    ``transpose='right'`` -> L^{-1} X L^{-T}   (used for Lm^{-1} Psi2 Lm^{-T})
+    """
+    if transpose == "right":
+        tmp = solve_triangular(L, X, lower=True, trans=False)
+        tmp = solve_triangular(L, jnp.swapaxes(tmp, -1, -2), lower=True, trans=False)
+        return jnp.swapaxes(tmp, -1, -2)
+    elif transpose == "left":
+        tmp = solve_triangular(L, X, lower=True, trans=True)
+        tmp = solve_triangular(L, jnp.swapaxes(tmp, -1, -2), lower=True, trans=True)
+        return jnp.swapaxes(tmp, -1, -2)
+    raise ValueError(f"transpose must be 'left' or 'right', got {transpose!r}")
+
+
+def pdinv(A, jitter0: float = 1e-6):
+    """Inverse of a PD matrix via jitchol (reference ``pdinv``).
+
+    Returns (Ainv, L, half_logdet).
+    """
+    L = jitchol(A, jitter0=jitter0)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    Ainv = cho_solve(L, eye)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return Ainv, L, half_logdet
+
+
+def log_det_from_chol(L):
+    """log|A| from L = chol(A)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)

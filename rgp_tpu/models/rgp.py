@@ -1,0 +1,430 @@
+"""Deep Recurrent Gaussian Process with REVARB variational inference.
+
+THE flagship model — the reference proper: `RGP:autoreg/model.py` (DeepAutoreg)
++ `RGP:autoreg/layers.py` [M] (SURVEY.md S2.1, S3.1-S3.3, Appendix A). Instead
+of the reference's mutable paramz layer objects with hand-routed inter-layer
+gradients (stack 3.2 steps 9-12), the whole model is:
+
+  * a hashable config (:class:`RGPConfig`) describing structure, and
+  * a parameter pytree (kernel hyperparameters, inducing inputs Z^h, noises,
+    variational means/log-variances of every q(x^h_t), optional encoder weights),
+
+with ONE pure ELBO function (A.4) differentiated end-to-end by autodiff — the
+gradient coupling of q(x_t) across its three roles (target of layer h, lagged
+input to layer h, input to layer h+1) is automatic.
+
+Model structure (A.1), layers indexed deepest-first (layer 0 driven by U):
+
+  layer 0:  xbar^0_t = [x^0_{t-1..t-L0}, u_t..u_{t-Lu+1}]
+  layer h:  xbar^h_t = [x^h_{t-1..t-Lh}, x^{h-1}_t..x^{h-1}_{t-Lh+1}]
+  output :  y_t      = f_out(x^{H-1}_t .. x^{H-1}_{t-Lout+1}) + eps_y
+
+Each hidden layer keeps L_h extra "initial window" latents with N(0,1) priors
+(KL term); targets x^h_{1..T} enter their layer's collapsed bound as
+variational targets (mean + variance, A.3/A.4).
+
+Free simulation (:func:`freerun`) is the reference's headline-metric path
+(S3.3): a `lax.scan` over test steps, each layer predicting with full
+moment matching (Girard 2003) through the psi-statistics, propagating both
+means and variances closed-loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.windows import current_window, lagged
+from ..inference.collapsed_vi import (
+    collapsed_bound,
+    posterior,
+    predict_uncertain,
+)
+from ..kernels import RBF, Kernel
+from ..ops.psi_stats import psi_statistics
+from ..params import positive, positive_inv
+from .encoder import init_mlp, mlp_apply
+
+__all__ = ["LayerSpec", "RGPConfig", "init_params", "elbo", "freerun", "deep_rgp_config"]
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kernel: Kernel
+    win: int  # autoregressive window L_h (> 0)
+    q_dim: int  # latent dimension Q_h
+    num_inducing: int
+
+
+@dataclasses.dataclass(frozen=True)
+class RGPConfig:
+    layers: Tuple[LayerSpec, ...]  # hidden layers, deepest (U-driven) first
+    out_kernel: Kernel
+    out_num_inducing: int
+    out_win: int  # emission window over top latents (>= 1)
+    u_win: int  # exogenous window L_u on layer 0
+    y_dim: int
+    u_dim: int
+    back_cstr: bool = False
+    mlp_hidden: Tuple[int, ...] = ()  # reference MLP_dims
+
+    @property
+    def n_hidden(self) -> int:
+        return len(self.layers)
+
+
+def deep_rgp_config(
+    wins,
+    u_win: int,
+    y_dim: int,
+    u_dim: int,
+    num_inducing: int = 100,
+    q_dims=None,
+    kernels=None,
+    out_kernel: Optional[Kernel] = None,
+    back_cstr: bool = False,
+    mlp_hidden: Tuple[int, ...] = (),
+) -> RGPConfig:
+    """Reference-API-shaped constructor (`DeepAutoreg(wins, Y, U=, U_win=, ...)`,
+    SURVEY.md Appendix B): ``wins=[w_out, w_1, ..., w_H]`` with wins[0] the
+    emission window over the top latent (0 -> current latent only) and wins[1:]
+    ordered from the layer *below the output* down to the U-driven layer.
+    Internally layers are stored deepest-first."""
+    w_out = wins[0]
+    hidden_wins = list(wins[1:])[::-1]  # deepest-first
+    H = len(hidden_wins)
+    if q_dims is None:
+        q_dims = [1] * H
+    layer_specs = []
+    for h, (w, q) in enumerate(zip(hidden_wins, q_dims)):
+        din = w * q + (u_win * u_dim if h == 0 else w * q_dims[h - 1])
+        k = kernels[h] if kernels is not None else RBF(input_dim=din)
+        layer_specs.append(LayerSpec(kernel=k, win=w, q_dim=q, num_inducing=num_inducing))
+    out_win = max(1, w_out)
+    dout_in = out_win * q_dims[-1]
+    ok = out_kernel if out_kernel is not None else RBF(input_dim=dout_in)
+    return RGPConfig(
+        layers=tuple(layer_specs),
+        out_kernel=ok,
+        out_num_inducing=num_inducing,
+        out_win=out_win,
+        u_win=u_win,
+        y_dim=y_dim,
+        u_dim=u_dim,
+        back_cstr=back_cstr,
+        mlp_hidden=tuple(mlp_hidden),
+    )
+
+
+# ----------------------------------------------------------------- init
+
+
+def _smooth(y, width: int = 5):
+    if width <= 1:
+        return y
+    k = np.ones(width) / width
+    return np.stack([np.convolve(y[:, d], k, mode="same") for d in range(y.shape[1])], -1)
+
+
+def init_params(
+    cfg: RGPConfig,
+    Y,
+    U,
+    *,
+    noise: float = 0.01,
+    lam_init: float = 0.01,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Reference-matching initialization (SURVEY.md S3.1, S7 hard-part 3):
+    hidden q(X) means from (smoothed, standardized) data projections, variances
+    ~0.01, Z a perturbed subset of the initial windowed inputs."""
+    Y = np.asarray(Y, np.float64)
+    U = np.asarray(U, np.float64)
+    T = Y.shape[0]
+    rng = np.random.default_rng(seed)
+
+    # data-driven latent init: broadcast standardized smoothed y to q_dim
+    y_sm = _smooth(Y)
+    y_std = (y_sm - y_sm.mean(0)) / (y_sm.std(0) + 1e-9)
+
+    layers = []
+    mu_prev_full = None
+    for h, spec in enumerate(cfg.layers):
+        L = spec.win
+        base = np.tile(y_std[:, : 1], (1, spec.q_dim))
+        mu_full = np.concatenate(
+            [0.1 * rng.standard_normal((L, spec.q_dim)), base], axis=0
+        )  # (T + L, Q)
+        mu_full = mu_full + 0.01 * rng.standard_normal(mu_full.shape)
+        lam_full = np.full(mu_full.shape, lam_init)
+
+        # windowed input means for Z init
+        own = np.asarray(lagged(jnp.asarray(mu_full), L))[L:]
+        if h == 0:
+            low = np.asarray(current_window(jnp.asarray(U), cfg.u_win))
+        else:
+            low = np.asarray(current_window(jnp.asarray(mu_prev_full[cfg.layers[h - 1].win:]), L))
+        Xw = np.concatenate([own, low], axis=-1)
+        idx = rng.permutation(T)[: spec.num_inducing]
+        Z = Xw[idx] + 1e-3 * rng.standard_normal((spec.num_inducing, Xw.shape[1]))
+
+        layers.append(
+            {
+                "kern": spec.kernel.init(dtype=dtype),
+                "Z": jnp.asarray(Z, dtype),
+                "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+                "mu": jnp.asarray(mu_full, dtype),
+                "log_lam": jnp.log(jnp.asarray(lam_full, dtype)),
+            }
+        )
+        mu_prev_full = mu_full
+
+    # output layer: inputs = window of top latents
+    top = mu_prev_full[cfg.layers[-1].win:]
+    Xout = np.asarray(current_window(jnp.asarray(top), cfg.out_win))
+    idx = rng.permutation(T)[: cfg.out_num_inducing]
+    Zout = Xout[idx] + 1e-3 * rng.standard_normal((cfg.out_num_inducing, Xout.shape[1]))
+    out = {
+        "kern": cfg.out_kernel.init(dtype=dtype),
+        "Z": jnp.asarray(Zout, dtype),
+        "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+    }
+
+    params = {"layers": tuple(layers), "out": out}
+
+    if cfg.back_cstr:
+        key = jax.random.PRNGKey(seed)
+        encs = []
+        for spec in cfg.layers:
+            key, sub = jax.random.split(key)
+            din = spec.win * cfg.y_dim + cfg.u_win * cfg.u_dim
+            dims = (din, *cfg.mlp_hidden, spec.q_dim)
+            encs.append(init_mlp(sub, dims, dtype=dtype))
+        params["encoder"] = tuple(encs)
+    return params
+
+
+# ----------------------------------------------------------------- ELBO
+
+
+def _hidden_means(cfg: RGPConfig, params, Y, U):
+    """Full latent mean arrays per layer, (T+L_h, Q_h). With back-constraints
+    the target-section means are amortized: MLP(window of Y, U) (S2.1 encoder);
+    the initial-window means stay free parameters (stored in params['mu'][:L])."""
+    mus = []
+    for h, spec in enumerate(cfg.layers):
+        lp = params["layers"][h]
+        if cfg.back_cstr:
+            feats = []
+            if spec.win > 0:
+                feats.append(lagged(Y, spec.win))
+            if cfg.u_win > 0:
+                feats.append(current_window(U, cfg.u_win))
+            enc_in = jnp.concatenate(feats, axis=-1)  # (T, win*Dy + u_win*Du)
+            mu_t = mlp_apply(params["encoder"][h], enc_in)  # (T, Q)
+            mu_full = jnp.concatenate([lp["mu"][: spec.win], mu_t], axis=0)
+        else:
+            mu_full = lp["mu"]
+        mus.append(mu_full)
+    return mus
+
+
+def _layer_inputs(cfg: RGPConfig, h: int, mu_full, lam_full, mu_lower_t, lam_lower_t, U):
+    """Windowed uncertain inputs (means, vars) for hidden layer h, (T, Din)."""
+    spec = cfg.layers[h]
+    L = spec.win
+    own_mu = lagged(mu_full, L)[L:]
+    own_s = lagged(lam_full, L)[L:]
+    if h == 0:
+        low_mu = current_window(U, cfg.u_win)
+        low_s = jnp.zeros_like(low_mu)
+    else:
+        low_mu = current_window(mu_lower_t, L)
+        low_s = current_window(lam_lower_t, L)
+    X_mu = jnp.concatenate([own_mu, low_mu], axis=-1)
+    X_s = jnp.concatenate([own_s, low_s], axis=-1)
+    return X_mu, X_s
+
+
+def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
+    """REVARB evidence lower bound (Appendix A.4) — one pure scalar function."""
+    Y = jnp.asarray(Y)
+    U = jnp.asarray(U)
+    total = 0.0
+    mus = _hidden_means(cfg, params, Y, U)
+
+    mu_lower_t = None
+    lam_lower_t = None
+    for h, spec in enumerate(cfg.layers):
+        lp = params["layers"][h]
+        L = spec.win
+        mu_full = mus[h]
+        lam_full = jnp.exp(lp["log_lam"])
+
+        X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
+        tgt_mu = mu_full[L:]
+        tgt_lam = lam_full[L:]
+
+        stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
+        total = total + collapsed_bound(
+            spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, tgt_mu, tgt_lam
+        )
+        # entropy of q over targets + KL(init window || N(0,1))  (A.4)
+        total = total + 0.5 * jnp.sum(jnp.log(2.0 * jnp.pi * jnp.e * tgt_lam))
+        mu0, lam0 = mu_full[:L], lam_full[:L]
+        total = total - 0.5 * jnp.sum(mu0 * mu0 + lam0 - jnp.log(lam0) - 1.0)
+
+        mu_lower_t, lam_lower_t = tgt_mu, tgt_lam
+
+    # output layer: emission on window of top latents
+    op = params["out"]
+    Xo_mu = current_window(mu_lower_t, cfg.out_win)
+    Xo_s = current_window(lam_lower_t, cfg.out_win)
+    stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
+    total = total + collapsed_bound(
+        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y
+    )
+    return total
+
+
+def neg_elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
+    return -elbo(cfg, params, Y, U, block=block)
+
+
+# ----------------------------------------------------------------- freerun
+
+
+def _posteriors(cfg: RGPConfig, params, Y, U, *, block=None):
+    """Per-layer sparse posteriors from the trained variational state —
+    computed once, reused across all freerun steps (S3.3 step 2)."""
+    Y = jnp.asarray(Y)
+    U = jnp.asarray(U)
+    mus = _hidden_means(cfg, params, Y, U)
+    posts = []
+    mu_lower_t = lam_lower_t = None
+    for h, spec in enumerate(cfg.layers):
+        lp = params["layers"][h]
+        L = spec.win
+        mu_full = mus[h]
+        lam_full = jnp.exp(lp["log_lam"])
+        X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
+        stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
+        posts.append(
+            posterior(spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, mu_full[L:])
+        )
+        mu_lower_t, lam_lower_t = mu_full[L:], lam_full[L:]
+    op = params["out"]
+    Xo_mu = current_window(mu_lower_t, cfg.out_win)
+    Xo_s = current_window(lam_lower_t, cfg.out_win)
+    stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
+    posts.append(posterior(cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y))
+    return posts, (mu_lower_t, lam_lower_t)
+
+
+def freerun(
+    cfg: RGPConfig,
+    params,
+    Y_train,
+    U_train,
+    U_test,
+    *,
+    moment_match: bool = True,
+    init_from_train_tail: bool = True,
+):
+    """Closed-loop free simulation over test inputs (S3.3; the benchmark path).
+
+    Each hidden layer's feedback window starts from the tail of its trained
+    variational means; every per-step prediction is moment-matched through the
+    psi-statistics with the accumulated state uncertainty. Returns
+    (y_means (T*, Dy), y_vars (T*, Dy))."""
+    posts, _ = _posteriors(cfg, params, Y_train, U_train)
+    U_test = jnp.asarray(U_test)
+    H = cfg.n_hidden
+
+    mus = _hidden_means(cfg, params, jnp.asarray(Y_train), jnp.asarray(U_train))
+
+    # per-layer state buffer length: own window or consumer window, whichever larger
+    buf_lens = []
+    for h, spec in enumerate(cfg.layers):
+        need_above = cfg.layers[h + 1].win if h + 1 < H else cfg.out_win
+        buf_lens.append(max(spec.win, need_above))
+
+    # initial buffers from trained latent tails (most-recent-first)
+    bufs_mu, bufs_s = [], []
+    for h, spec in enumerate(cfg.layers):
+        B = buf_lens[h]
+        lam_full = jnp.exp(params["layers"][h]["log_lam"])
+        if init_from_train_tail:
+            tail_mu = mus[h][-B:][::-1]
+            tail_s = lam_full[-B:][::-1]
+        else:
+            tail_mu = jnp.zeros((B, spec.q_dim), dtype=U_test.dtype)
+            tail_s = jnp.ones((B, spec.q_dim), dtype=U_test.dtype)
+        bufs_mu.append(tail_mu)
+        bufs_s.append(tail_s)
+
+    # exogenous windows: seed u history from the training tail so the first
+    # test steps see valid lags
+    Lu = cfg.u_win
+    U_cat = jnp.concatenate([jnp.asarray(U_train)[-max(Lu - 1, 0):], U_test], axis=0) \
+        if Lu > 1 else U_test
+    Uw = current_window(U_cat, Lu)[max(Lu - 1, 0):] if Lu > 0 else \
+        jnp.zeros((U_test.shape[0], 0), dtype=U_test.dtype)
+
+    specs = cfg.layers
+
+    def step(carry, uw):
+        bufs_mu, bufs_s = carry
+        new_mu, new_s = [], []
+        for h, spec in enumerate(specs):
+            lp = params["layers"][h]
+            L = spec.win
+            own_mu = bufs_mu[h][:L].reshape(1, -1)
+            own_s = bufs_s[h][:L].reshape(1, -1)
+            if h == 0:
+                low_mu = uw.reshape(1, -1)
+                low_s = jnp.zeros_like(low_mu)
+            else:
+                # lower layer's window INCLUDING its just-computed current step
+                low_mu = jnp.concatenate([new_mu[h - 1][None, :], bufs_mu[h - 1][: L - 1].reshape(-1, specs[h - 1].q_dim)], axis=0).reshape(1, -1) if L > 1 else new_mu[h - 1].reshape(1, -1)
+                low_s = jnp.concatenate([new_s[h - 1][None, :], bufs_s[h - 1][: L - 1].reshape(-1, specs[h - 1].q_dim)], axis=0).reshape(1, -1) if L > 1 else new_s[h - 1].reshape(1, -1)
+            x_mu = jnp.concatenate([own_mu, low_mu], axis=-1)
+            x_s = jnp.concatenate([own_s, low_s], axis=-1)
+            m, v = predict_uncertain(
+                spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], posts[h],
+                x_mu, x_s if moment_match else None,
+                include_noise=True,  # process noise propagates into the state
+            )
+            new_mu.append(m[0])
+            new_s.append(v[0])
+
+        # emission from window over top latents (current + previous)
+        op = params["out"]
+        W = cfg.out_win
+        top_mu = jnp.concatenate([new_mu[-1][None, :], bufs_mu[-1][: W - 1]], axis=0).reshape(1, -1) if W > 1 else new_mu[-1].reshape(1, -1)
+        top_s = jnp.concatenate([new_s[-1][None, :], bufs_s[-1][: W - 1]], axis=0).reshape(1, -1) if W > 1 else new_s[-1].reshape(1, -1)
+        ym, yv = predict_uncertain(
+            cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], posts[-1],
+            top_mu, top_s if moment_match else None,
+            include_noise=True,
+        )
+
+        bufs_mu = [
+            jnp.concatenate([new_mu[h][None, :], bufs_mu[h][:-1]], axis=0)
+            for h in range(H)
+        ]
+        bufs_s = [
+            jnp.concatenate([new_s[h][None, :], bufs_s[h][:-1]], axis=0)
+            for h in range(H)
+        ]
+        return (bufs_mu, bufs_s), (ym[0], yv[0])
+
+    (_, _), (y_means, y_vars) = jax.lax.scan(step, (bufs_mu, bufs_s), Uw)
+    return y_means, y_vars

@@ -1,0 +1,100 @@
+"""Sparse variational GP regression (certain inputs) — Titsias' collapsed bound.
+
+The `GPy.models.SparseGPRegression` equivalent [H]; config 3's substrate
+(BASELINE.json:9) and the Z=X exactness test bed (SURVEY.md S4 item 3). Uses
+the psi-statistics path with s = 0, which reduces exactly to the plain VarDTC
+bound — one inference code path for certain and uncertain inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..inference.collapsed_vi import (
+    SparsePosterior,
+    collapsed_bound,
+    posterior,
+    predict_uncertain,
+)
+from ..kernels import Kernel
+from ..ops.psi_stats import psi_statistics
+from ..params import positive_inv
+
+__all__ = ["SparseGPConfig", "init_params", "elbo", "predict"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseGPConfig:
+    kernel: Kernel
+    num_inducing: int
+
+
+def kmeans_init(X, k: int, seed: int = 0, iters: int = 10) -> np.ndarray:
+    """Tiny host-side Lloyd's k-means for inducing-point init (the reference's
+    'subset or k-means' Z init [M], SURVEY.md S3.1). K-means is preferred: data
+    subsets of windowed autoregressive designs contain near-duplicate rows
+    (piecewise-constant inputs), which make Kmm numerically singular in f32."""
+    X = np.asarray(X, np.float64)
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    if k >= n:
+        return X + 1e-3 * rng.standard_normal(X.shape)
+    C = X[rng.permutation(n)[:k]].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                C[j] = X[mask].mean(0)
+            else:  # re-seed empty cluster
+                C[j] = X[rng.integers(n)] + 1e-3 * rng.standard_normal(X.shape[1])
+    return C
+
+
+def init_params(
+    cfg: SparseGPConfig,
+    X,
+    noise: float = 0.1,
+    seed: int = 0,
+    dtype=jnp.float32,
+    **kern_kw,
+):
+    """Inducing inputs initialized by k-means over the (windowed) inputs."""
+    Z = kmeans_init(X, cfg.num_inducing, seed=seed)
+    return {
+        "kern": cfg.kernel.init(dtype=dtype, **kern_kw),
+        "Z": jnp.asarray(Z, dtype),
+        "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+    }
+
+
+def elbo(cfg: SparseGPConfig, params, X, Y, *, block=None):
+    stats = psi_statistics(cfg.kernel, params["kern"], params["Z"], X, None, block=block)
+    return collapsed_bound(
+        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Y
+    )
+
+
+def _posterior(cfg: SparseGPConfig, params, X, Y) -> SparsePosterior:
+    stats = psi_statistics(cfg.kernel, params["kern"], params["Z"], X, None, block=None)
+    return posterior(
+        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Y
+    )
+
+
+def predict(cfg: SparseGPConfig, params, X, Y, Xs, *, include_noise: bool = True):
+    post = _posterior(cfg, params, X, Y)
+    return predict_uncertain(
+        cfg.kernel,
+        params["kern"],
+        params["Z"],
+        params["log_noise"],
+        post,
+        Xs,
+        None,
+        include_noise=include_noise,
+    )

@@ -1,0 +1,308 @@
+"""Psi-statistics: kernel expectations under Gaussian input distributions.
+
+The computational heart of uncertain-input sparse-GP inference (SURVEY.md S2.2
+"Psi-statistics", Appendix A.2). Replaces `GPy:GPy/kern/src/psi_comp/` (Python +
+optional CUDA variants, SURVEY.md N4) with closed forms expressed as MXU matmuls:
+
+  Psi0[t]    = E_q [ k(x_t, x_t) ]
+  Psi1[t,m]  = E_q [ k(x_t, z_m) ]
+  Psi2[m,m'] = sum_t E_q [ k(x_t, z_m) k(x_t, z_m') ]
+
+for q(x_t) = N(mu_t, diag(s_t)). Reverse-mode gradients w.r.t. (mu, s, Z, theta)
+— the reference's ``update_gradients_expectations`` / ``gradients_qX_expectations``
+hand-written chain — come from autodiff.
+
+The RBF Psi2 inner term is a (T, M, M) tensor that must never be materialized in
+full for long sequences (SURVEY.md S7 hard-part 2): :func:`psi_statistics`
+accumulates it over time chunks with ``lax.scan`` in f32. A fused Pallas kernel
+for the same computation lives in :mod:`rgp_tpu.ops.pallas.psi2`.
+
+Certain inputs (s = 0) recover Psi1 = K(mu, Z) and Psi2 = K.T K exactly, which is
+how the plain sparse-GP / GP-NARX path reuses this module.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kernels import RBF, Bias, Kernel, Linear, Sum, White, kern_slice
+from ..linalg import hdot
+from ..params import positive
+
+__all__ = ["PsiStats", "psi_statistics", "psi2_per_t"]
+
+_PREC = lax.Precision.HIGHEST
+
+
+class PsiStats(NamedTuple):
+    psi0: jnp.ndarray  # (T,)
+    psi1: jnp.ndarray  # (T, M)
+    psi2: jnp.ndarray  # (M, M) summed over t
+
+
+# --------------------------------------------------------------------------- RBF
+
+
+def _rbf_psi0(p, mu):
+    var = positive(p["log_var"])
+    return jnp.broadcast_to(var, mu.shape[:-1])
+
+
+def _rbf_psi1(p, Z, mu, s):
+    """log Psi1 = log var - 1/2 sum_q log(1+s/l^2) - 1/2 (mu-z)^2/(l^2+s)."""
+    var = positive(p["log_var"])
+    ls = positive(p["log_ls"])
+    l2 = ls * ls
+    w = 1.0 / (l2 + s)  # (T, Q)
+    logdet = -0.5 * jnp.sum(jnp.log1p(s / l2), axis=-1)  # (T,)
+    mu2w = jnp.sum(w * mu * mu, axis=-1)  # (T,)
+    A = hdot(w * mu, Z.T)  # (T, M)
+    B = hdot(w, (Z * Z).T)  # (T, M)
+    quad = mu2w[..., None] - 2.0 * A + B
+    return var * jnp.exp(logdet[..., None] - 0.5 * quad)
+
+
+def _rbf_psi2_chunk(p, Z, mu, s):
+    """Sum_t Psi2_t over a chunk of timesteps; materializes (chunk, M, M)."""
+    var = positive(p["log_var"])
+    ls = positive(p["log_ls"])
+    l2 = ls * ls
+    w = 1.0 / (l2 + 2.0 * s)  # (T, Q)
+    logconst = 2.0 * jnp.log(var) - 0.5 * jnp.sum(jnp.log1p(2.0 * s / l2), axis=-1)
+    # (z_m - z_n)^2 / (4 l^2) term, (M, M)
+    Zs = Z / (2.0 * ls)
+    zz = jnp.sum(Zs * Zs, axis=-1)
+    D1 = zz[:, None] + zz[None, :] - 2.0 * hdot(Zs, Zs.T)
+    mu2w = jnp.sum(w * mu * mu, axis=-1)  # (T,)
+    A = hdot(w * mu, Z.T)  # (T, M)
+    B = hdot(w, (Z * Z).T)  # (T, M)
+    C = jnp.einsum("tq,mq,nq->tmn", w, Z, Z, precision=_PREC)  # (T, M, M)
+    log_psi2 = (
+        (logconst - mu2w)[:, None, None]
+        - D1[None, :, :]
+        + (A - 0.25 * B)[:, :, None]
+        + (A - 0.25 * B)[:, None, :]
+        - 0.5 * C
+    )
+    return jnp.sum(jnp.exp(log_psi2), axis=0)
+
+
+def _rbf_psi2_per_t(p, Z, mu, s):
+    """Per-timestep Psi2_t, (T, M, M) — small-T use only (prediction)."""
+    var = positive(p["log_var"])
+    ls = positive(p["log_ls"])
+    l2 = ls * ls
+    w = 1.0 / (l2 + 2.0 * s)
+    logconst = 2.0 * jnp.log(var) - 0.5 * jnp.sum(jnp.log1p(2.0 * s / l2), axis=-1)
+    Zs = Z / (2.0 * ls)
+    zz = jnp.sum(Zs * Zs, axis=-1)
+    D1 = zz[:, None] + zz[None, :] - 2.0 * hdot(Zs, Zs.T)
+    mu2w = jnp.sum(w * mu * mu, axis=-1)
+    A = hdot(w * mu, Z.T)
+    B = hdot(w, (Z * Z).T)
+    C = jnp.einsum("tq,mq,nq->tmn", w, Z, Z, precision=_PREC)
+    log_psi2 = (
+        (logconst - mu2w)[:, None, None]
+        - D1[None, :, :]
+        + (A - 0.25 * B)[:, :, None]
+        + (A - 0.25 * B)[:, None, :]
+        - 0.5 * C
+    )
+    return jnp.exp(log_psi2)
+
+
+# ------------------------------------------------------------------------ Linear
+
+
+def _linear_psi0(p, mu, s):
+    v = positive(p["log_var"])
+    return jnp.sum(v * (mu * mu + s), axis=-1)
+
+
+def _linear_psi1(p, Z, mu):
+    v = positive(p["log_var"])
+    return hdot(mu * v, Z.T)
+
+
+def _linear_psi2_sum(p, Z, mu, s):
+    v = positive(p["log_var"])
+    psi1 = hdot(mu * v, Z.T)  # (T, M)
+    Zv = Z * v  # (M, Q)
+    s_tot = jnp.sum(s, axis=0) if s.ndim == 2 else s  # (Q,)
+    return hdot(psi1.T, psi1) + hdot(Zv * s_tot, Zv.T)
+
+
+def _linear_psi2_per_t(p, Z, mu, s):
+    v = positive(p["log_var"])
+    psi1 = hdot(mu * v, Z.T)  # (T, M)
+    Zv = Z * v
+    outer = psi1[:, :, None] * psi1[:, None, :]
+    corr = jnp.einsum("tq,mq,nq->tmn", s, Zv, Zv, precision=_PREC)
+    return outer + corr
+
+
+# ---------------------------------------------------------------------- dispatch
+
+
+def _broadcast_s(mu, s):
+    if s is None:
+        return jnp.zeros_like(mu)
+    return jnp.broadcast_to(jnp.asarray(s, mu.dtype), mu.shape)
+
+
+def psi2_per_t(kern: Kernel, p, Z, mu, s):
+    """Per-timestep Psi2_t (T, M, M). Use for prediction/SVI on small batches."""
+    s = _broadcast_s(mu, s)
+    if isinstance(kern, RBF):
+        return _rbf_psi2_per_t(p, kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s))
+    if isinstance(kern, Linear):
+        return _linear_psi2_per_t(p, kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s))
+    if isinstance(kern, Bias):
+        var = positive(p["log_var"])
+        T, M = mu.shape[0], Z.shape[0]
+        return jnp.full((T, M, M), var * var, dtype=mu.dtype)
+    if isinstance(kern, White):
+        return jnp.zeros((mu.shape[0], Z.shape[0], Z.shape[0]), dtype=mu.dtype)
+    if isinstance(kern, Sum):
+        parts = [psi2_per_t(k, pk, Z, mu, s) for k, pk in zip(kern.parts, p)]
+        total = sum(parts)
+        total = total + _sum_psi2_cross(kern, p, Z, mu, s, per_t=True)
+        return total
+    raise NotImplementedError(f"psi2 for kernel {type(kern).__name__}")
+
+
+def _psi01(kern: Kernel, p, Z, mu, s):
+    if isinstance(kern, RBF):
+        Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
+        return _rbf_psi0(p, mua), _rbf_psi1(p, Za, mua, sa)
+    if isinstance(kern, Linear):
+        Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
+        return _linear_psi0(p, mua, sa), _linear_psi1(p, Za, mua)
+    if isinstance(kern, Bias):
+        var = positive(p["log_var"])
+        T, M = mu.shape[0], Z.shape[0]
+        return jnp.broadcast_to(var, (T,)), jnp.full((T, M), var, dtype=mu.dtype)
+    if isinstance(kern, White):
+        # white noise contributes to the diagonal expectation only
+        var = positive(p["log_var"])
+        T, M = mu.shape[0], Z.shape[0]
+        return jnp.broadcast_to(var, (T,)), jnp.zeros((T, M), dtype=mu.dtype)
+    if isinstance(kern, Sum):
+        out0, out1 = None, None
+        for k, pk in zip(kern.parts, p):
+            p0, p1 = _psi01(k, pk, Z, mu, s)
+            out0 = p0 if out0 is None else out0 + p0
+            out1 = p1 if out1 is None else out1 + p1
+        return out0, out1
+    raise NotImplementedError(f"psi stats for kernel {type(kern).__name__}")
+
+
+def _sum_psi2_cross(kern: Sum, p, Z, mu, s, per_t: bool = False):
+    """Cross terms E[k_a(x,zm) k_b(x,zm')] for additive kernels.
+
+    Supported cross pairs (matching the reference's practical usage,
+    `GPy:GPy/kern/src/add.py` [M]): Bias x {RBF, Linear}. White crosses vanish.
+    RBF x Linear cross psi2 is not implemented (raises), as in common GPy builds.
+    """
+    T, M = mu.shape[0], Z.shape[0]
+    total = jnp.zeros((T, M, M) if per_t else (M, M), dtype=mu.dtype)
+    n = len(kern.parts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ki, kj = kern.parts[i], kern.parts[j]
+            pi, pj = p[i], p[j]
+            if isinstance(ki, White) or isinstance(kj, White):
+                continue
+            if isinstance(ki, Bias) or isinstance(kj, Bias):
+                if isinstance(ki, Bias):
+                    bvar, other, po = positive(pi["log_var"]), kj, pj
+                else:
+                    bvar, other, po = positive(pj["log_var"]), ki, pi
+                _, psi1_o = _psi01(other, po, Z, mu, s)  # (T, M)
+                if per_t:
+                    cross = bvar * (psi1_o[:, :, None] + psi1_o[:, None, :])
+                else:
+                    colsum = jnp.sum(psi1_o, axis=0)  # (M,)
+                    cross = bvar * (colsum[:, None] + colsum[None, :])
+                total = total + cross
+            elif isinstance(ki, (RBF, Linear)) and isinstance(kj, (RBF, Linear)):
+                raise NotImplementedError(
+                    "psi2 cross term between RBF and Linear parts is not implemented"
+                )
+    return total
+
+
+def psi_statistics(
+    kern: Kernel,
+    p,
+    Z,
+    mu,
+    s=None,
+    *,
+    block: Optional[int] = 128,
+) -> PsiStats:
+    """Compute (Psi0, Psi1, sum_t Psi2) for q(x_t) = N(mu_t, diag(s_t)).
+
+    ``s=None`` means certain inputs (s=0), recovering Psi1=K(mu,Z),
+    Psi2=K^T K. The Psi2 time sum is accumulated in chunks of ``block``
+    timesteps under ``lax.scan`` so the (T, M, M) intermediate never
+    materializes (pass ``block=None`` to materialize — fastest for small T).
+    """
+    s = _broadcast_s(mu, s)
+    psi0, psi1 = _psi01(kern, p, Z, mu, s)
+    psi2 = _psi2_sum(kern, p, Z, mu, s, block=block)
+    return PsiStats(psi0, psi1, psi2)
+
+
+def _psi2_sum(kern, p, Z, mu, s, *, block):
+    if isinstance(kern, Linear):
+        return _linear_psi2_sum(p, kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s))
+    if isinstance(kern, Bias):
+        var = positive(p["log_var"])
+        M = Z.shape[0]
+        return jnp.full((M, M), mu.shape[0] * var * var, dtype=mu.dtype)
+    if isinstance(kern, White):
+        return jnp.zeros((Z.shape[0], Z.shape[0]), dtype=mu.dtype)
+    if isinstance(kern, Sum):
+        total = None
+        for k, pk in zip(kern.parts, p):
+            part = _psi2_sum(k, pk, Z, mu, s, block=block)
+            total = part if total is None else total + part
+        return total + _sum_psi2_cross(kern, p, Z, mu, s, per_t=False)
+    if isinstance(kern, RBF):
+        Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
+        T = mua.shape[0]
+        if block is None or T <= block:
+            return _rbf_psi2_chunk(p, Za, mua, sa)
+        # pad T to a multiple of block with zero-weight (exp -> 0) entries:
+        # padding uses mu=0, s=0 but a mask multiplies the chunk sums.
+        n_chunks = -(-T // block)
+        pad = n_chunks * block - T
+        mup = jnp.pad(mua, ((0, pad), (0, 0)))
+        sp = jnp.pad(sa, ((0, pad), (0, 0)))
+        maskp = jnp.pad(jnp.ones((T,), dtype=mua.dtype), (0, pad))
+        mup = mup.reshape(n_chunks, block, -1)
+        sp = sp.reshape(n_chunks, block, -1)
+        maskp = maskp.reshape(n_chunks, block)
+
+        def step(acc, inp):
+            mu_c, s_c, m_c = inp
+            chunk = _rbf_psi2_masked(p, Za, mu_c, s_c, m_c)
+            return acc + chunk, None
+
+        M = Za.shape[0]
+        init = jnp.zeros((M, M), dtype=mua.dtype)
+        out, _ = lax.scan(step, init, (mup, sp, maskp))
+        return out
+    raise NotImplementedError(f"psi2 for kernel {type(kern).__name__}")
+
+
+def _rbf_psi2_masked(p, Z, mu, s, mask):
+    """Chunked Psi2 partial sum with a 0/1 timestep mask (for padding)."""
+    per_t = _rbf_psi2_per_t(p, Z, mu, s)
+    return jnp.sum(per_t * mask[:, None, None], axis=0)

@@ -1,0 +1,91 @@
+"""Training drivers (optimizer layer).
+
+Replaces the reference's paramz optimizer stack (`paramz/optimization/` [H]:
+scipy L-BFGS-B, SCG — SURVEY.md S2.2 "Optimizer drivers") with two drivers:
+
+* :func:`fit_adam` — the TPU-native path: optax Adam, the entire optimization
+  loop a single ``lax.scan`` under ``jit`` (no host round-trips per step),
+  returning the ELBO trajectory. This is the driver used on-device and the one
+  benchmarked for "ELBO iterations/sec/chip" (BASELINE.json:2).
+* :func:`fit_scipy_lbfgs` — reference-parity convenience driver: scipy
+  L-BFGS-B over the flat unconstrained vector with jitted value-and-grad
+  (exactly the reference's ``m.optimize('lbfgsb')`` semantics, host loop).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .params import ravel
+
+__all__ = ["fit_adam", "fit_scipy_lbfgs", "FitResult"]
+
+
+class FitResult(NamedTuple):
+    params: object
+    losses: jnp.ndarray  # per-iteration objective values (negative ELBO)
+
+
+def fit_adam(
+    loss_fn: Callable,
+    params,
+    *,
+    iters: int,
+    learning_rate: float = 1e-2,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    jit: bool = True,
+) -> FitResult:
+    """Minimize ``loss_fn(params)`` with Adam; whole loop under one jit/scan."""
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+
+    def run(p0):
+        state0 = opt.init(p0)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
+        return p, losses
+
+    if jit:
+        run = jax.jit(run)
+    p, losses = run(params)
+    return FitResult(params=p, losses=losses)
+
+
+def fit_scipy_lbfgs(
+    loss_fn: Callable,
+    params,
+    *,
+    max_iters: int = 1000,
+    verbose: bool = False,
+) -> FitResult:
+    """scipy L-BFGS-B on the flat unconstrained vector (reference parity)."""
+    import scipy.optimize
+
+    flat0, unravel = ravel(params)
+    vg = jax.jit(jax.value_and_grad(lambda v: loss_fn(unravel(v))))
+    trace = []
+
+    def f_fp(v):
+        val, g = vg(jnp.asarray(v))
+        trace.append(float(val))
+        return float(val), np.asarray(g, dtype=np.float64)
+
+    res = scipy.optimize.minimize(
+        f_fp,
+        np.asarray(flat0, dtype=np.float64),
+        jac=True,
+        method="L-BFGS-B",
+        options={"maxiter": max_iters, "disp": verbose},
+    )
+    return FitResult(params=unravel(jnp.asarray(res.x)), losses=jnp.asarray(trace))
