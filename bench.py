@@ -1,0 +1,132 @@
+"""Headline benchmark: config 1 (BASELINE.json:7) — 1-layer RGP, RBF-ARD,
+M=100 inducing, actuator dataset.
+
+Measures ELBO optimization throughput (iterations/sec/chip, the BASELINE.json:2
+metric) on the default backend (TPU under the driver) and the free-simulation
+RMSE of the trained model. ``vs_baseline`` is the throughput ratio against this
+repo's own CPU f64 run of the identical configuration — the declared
+GPy-equivalent reference per BASELINE.md (the true GPy reference is not
+runnable here: empty mount, no network).
+
+Prints exactly ONE JSON line on the last line of stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _setup(dtype):
+    import jax.numpy as jnp
+
+    from rgp_tpu.data import datasets
+    from rgp_tpu.data.windows import Standardizer
+    from rgp_tpu.models import rgp
+
+    d = datasets.load("actuator")
+    sy, su = Standardizer.fit(d.y_train), Standardizer.fit(d.u_train)
+    Y = jnp.asarray(sy.transform(d.y_train), dtype)
+    U = jnp.asarray(su.transform(d.u_train), dtype)
+    Ut = jnp.asarray(su.transform(d.u_test), dtype)
+    cfg = rgp.deep_rgp_config(wins=[0, 10], u_win=10, y_dim=1, u_dim=1, num_inducing=100)
+    params = rgp.init_params(cfg, Y, U, dtype=dtype)
+    return cfg, params, Y, U, Ut, sy, d
+
+
+def _timed_fit(cfg, params, Y, U, iters, lr, device=None):
+    import jax
+    import optax
+
+    from rgp_tpu.models import rgp
+
+    opt = optax.adam(lr)
+
+    def run(p0, n):
+        state0 = opt.init(p0)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(
+                lambda q: -rgp.elbo(cfg, q, Y, U, block=None)
+            )(p)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=n)
+        return p, losses
+
+    run_jit = jax.jit(run, static_argnums=1, device=device)
+    # warmup/compile with 2 iters
+    jax.block_until_ready(run_jit(params, 2))
+    t0 = time.perf_counter()
+    p, losses = run_jit(params, iters)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    return p, losses, iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--cpu-iters", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--skip-cpu-baseline", action="store_true")
+    ap.add_argument("--profile", type=int, default=0, help="trace N iters to /tmp/rgp_trace")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgp_tpu.models import rgp
+
+    backend = jax.default_backend()
+    cfg, params, Y, U, Ut, sy, d = _setup(jnp.float32)
+
+    if args.profile:
+        with jax.profiler.trace("/tmp/rgp_trace"):
+            _timed_fit(cfg, params, Y, U, args.profile, args.lr)
+
+    p_fit, losses, ips = _timed_fit(cfg, params, Y, U, args.iters, args.lr)
+
+    means, _ = rgp.freerun(cfg, p_fit, Y, U, Ut)
+    m = sy.inverse(np.asarray(means))
+    rmse = float(np.sqrt(np.mean((m - d.y_test) ** 2)))
+    zero_rmse = float(np.sqrt(np.mean(d.y_test**2)))
+
+    vs = float("nan")
+    if not args.skip_cpu_baseline:
+        try:
+            cpu = jax.devices("cpu")[0]
+            _, _, cpu_ips = _timed_fit(cfg, params, Y, U, args.cpu_iters, args.lr, device=cpu)
+            vs = ips / cpu_ips
+        except Exception:
+            pass
+
+    def _num(x):
+        x = float(x)
+        return round(x, 4) if np.isfinite(x) else None
+
+    result = {
+        "metric": "elbo_iters_per_sec_per_chip[rgp1L_actuator_M100]",
+        "value": round(ips, 2),
+        "unit": "iter/s",
+        "vs_baseline": _num(vs),
+        "details": {
+            "backend": backend,
+            "elbo_first": _num(-losses[0]),
+            "elbo_last": _num(-losses[-1]),
+            "freerun_rmse_actuator": _num(rmse),
+            "zero_predictor_rmse": _num(zero_rmse),
+            "iters": args.iters,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

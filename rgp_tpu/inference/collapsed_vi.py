@@ -39,6 +39,7 @@ from ..linalg import (
     default_jitter,
     hdot,
     jitchol,
+    jitchol_with_jitter,
     log_det_from_chol,
     solve_triangular,
 )
@@ -50,21 +51,70 @@ __all__ = ["collapsed_bound", "SparsePosterior", "posterior", "predict_uncertain
 _LOG2PI = float(jnp.log(2.0 * jnp.pi))
 
 
-def _common(kern: Kernel, kp, Z, stats: PsiStats, noise, jitter: Optional[float]):
-    M = Z.shape[0]
+def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float]):
+    """Shared factorizations for the collapsed bound.
+
+    NOTE on the f32/TPU formulation: GPy factors B = I + beta Lm^{-1} Psi2
+    Lm^{-T} (congruence first). In f32 that amplifies the rounding error of
+    Psi2 by cond(Kmm) and makes B numerically indefinite (observed eigmin
+    ~ -90 on the actuator config). We instead factor C = Kmm + beta Psi2
+    directly — mathematically identical (log|B| = log|C| - log|Kmm|,
+    Lm^{-T} B^{-1} Lm^{-1} = C^{-1}) but the error stays relative to ||C||,
+    so f32 survives (SURVEY.md S7 hard-part 1).
+    """
     Kmm = kern.K(kp, Z)
     if jitter is None:
         jitter = default_jitter(Kmm.dtype)
-    Lm = jitchol(Kmm, jitter0=jitter)
+    Lm, jit_abs = jitchol_with_jitter(Kmm, jitter0=jitter)
     beta = 1.0 / noise
-    LmiP2Lmt = backsub_both_sides(Lm, stats.psi2, "right")  # Lm^{-1} Psi2 Lm^{-T}
-    # symmetrize: f32 rounding through the two triangular solves breaks the
-    # exact symmetry that Cholesky(B) requires
-    LmiP2Lmt = 0.5 * (LmiP2Lmt + LmiP2Lmt.T)
-    A = beta * LmiP2Lmt
-    B = A + jnp.eye(M, dtype=A.dtype)
-    Lb = jitchol(B, jitter0=1e-9)
-    return Kmm, Lm, LmiP2Lmt, B, Lb, beta
+    # the SAME absolute jitter that entered Lm must enter C so the tiny
+    # eigenvalues cancel in log|C| - log|Kmm|
+    M = Kmm.shape[-1]
+    Kmm_j = Kmm + jit_abs * jnp.eye(M, dtype=Kmm.dtype)
+    C = Kmm_j + beta * 0.5 * (psi2 + psi2.T)
+    Lc = jitchol(C, jitter0=1e-10)
+    # tr(Kmm^{-1} Psi2): congruence only for a trace (no Cholesky of it)
+    LmiP2Lmt = backsub_both_sides(Lm, psi2, "right")
+    return Kmm, Lm, LmiP2Lmt, Lc, beta
+
+
+def collapsed_bound_from_suffstats(
+    kern: Kernel,
+    kp,
+    Z,
+    log_noise,
+    psi0_sum,
+    psi1Y,
+    psi2,
+    trYY,
+    T,
+    D,
+    *,
+    jitter: Optional[float] = None,
+):
+    """Assemble F0 from the additive sufficient statistics
+    (sum_t psi0_t, Psi1^T Y, sum_t Psi2_t, E||Y||^2, T).
+
+    This is the reduction point of the data-parallel path: partial sums of
+    these four statistics over time shards are ``psum``-reduced across the mesh
+    (the TPU-native equivalent of the reference's MPI ``Allreduce`` in
+    `GPy:.../var_dtc_parallel.py` [M], SURVEY.md N5/S3.4) and assembled
+    identically on every device.
+    """
+    noise = positive(log_noise)
+    _, Lm, LmiP2Lmt, Lc, beta = _common(kern, kp, Z, psi2, noise, jitter)
+
+    c = solve_triangular(Lc, psi1Y)  # ||Lc^{-1} Psi1^T Y||^2 = Y^T Psi1 C^{-1} Psi1^T Y
+    tr_KmmInvPsi2 = jnp.trace(LmiP2Lmt)
+    log_det_B = log_det_from_chol(Lc) - log_det_from_chol(Lm)
+
+    return (
+        -0.5 * T * D * (_LOG2PI + jnp.log(noise))
+        - 0.5 * D * log_det_B
+        - 0.5 * beta * trYY
+        + 0.5 * beta * beta * jnp.sum(c * c)
+        - 0.5 * D * beta * (psi0_sum - tr_KmmInvPsi2)
+    )
 
 
 def collapsed_bound(
@@ -81,26 +131,14 @@ def collapsed_bound(
     """The collapsed bound F0 (A.3). ``Y`` are target means (T, D); ``Y_var``
     optional target variances (T, D) for variational (hidden-layer) targets."""
     T, D = Y.shape
-    noise = positive(log_noise)
-    _, Lm, LmiP2Lmt, _, Lb, beta = _common(kern, kp, Z, stats, noise, jitter)
-
     psi1Y = hdot(stats.psi1.T, Y)  # (M, D)
-    tmp = solve_triangular(Lm, psi1Y)
-    c = solve_triangular(Lb, tmp)
-
     trYY = jnp.sum(Y * Y)
     if Y_var is not None:
         trYY = trYY + jnp.sum(Y_var)
-
-    psi0_sum = jnp.sum(stats.psi0)
-    tr_KmmInvPsi2 = jnp.trace(LmiP2Lmt)
-
-    return (
-        -0.5 * T * D * (_LOG2PI + jnp.log(noise))
-        - 0.5 * D * log_det_from_chol(Lb)
-        - 0.5 * beta * trYY
-        + 0.5 * beta * beta * jnp.sum(c * c)
-        - 0.5 * D * beta * (psi0_sum - tr_KmmInvPsi2)
+    return collapsed_bound_from_suffstats(
+        kern, kp, Z, log_noise,
+        jnp.sum(stats.psi0), psi1Y, stats.psi2, trYY, T, D,
+        jitter=jitter,
     )
 
 
@@ -128,19 +166,14 @@ def posterior(
     jitter: Optional[float] = None,
 ) -> SparsePosterior:
     noise = positive(log_noise)
-    _, Lm, _, _, Lb, beta = _common(kern, kp, Z, stats, noise, jitter)
+    _, Lm, _, Lc, beta = _common(kern, kp, Z, stats.psi2, noise, jitter)
     M = Z.shape[0]
 
     psi1Y = hdot(stats.psi1.T, Y)
-    tmp = solve_triangular(Lm, psi1Y)
-    c = solve_triangular(Lb, tmp)
-    # alpha = beta Lm^{-T} Lb^{-T} c
-    alpha = beta * solve_triangular(Lm, solve_triangular(Lb, c, trans=True), trans=True)
+    alpha = beta * cho_solve(Lc, psi1Y)  # beta C^{-1} Psi1^T Y
 
     eye = jnp.eye(M, dtype=Z.dtype)
-    # W = Lm^{-T} B^{-1} Lm^{-1}
-    Binv = cho_solve(Lb, eye)
-    W = backsub_both_sides(Lm, Binv, "left")
+    W = cho_solve(Lc, eye)  # (Kmm + beta Psi2)^{-1}
     Kmm_inv = backsub_both_sides(Lm, eye, "left")
     return SparsePosterior(alpha=alpha, woodbury_inv=Kmm_inv - W, W=W)
 

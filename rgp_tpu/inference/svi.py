@@ -1,0 +1,164 @@
+"""Stochastic (uncollapsed) sparse variational inference — explicit q(u).
+
+Rebuilds the reference ecosystem's minibatch VarDTC / SVI-GP capability
+(`GPy:.../var_dtc_parallel.py` VarDTC_minibatch [M], Hensman et al. 2013/2015;
+SURVEY.md S2.2, S3.4, config 4 of BASELINE.json:10). Unlike the collapsed bound,
+q(u) = N(m, S) is explicit, so the bound decomposes over datapoints and
+supports minibatching + natural-gradient updates (SURVEY.md A.5).
+
+Per-batch bound (uncertain inputs; certain = s=0):
+
+  ELBO = w * sum_{t in batch} E_q(x_t) E_q(u) [ log N(y_t | f_t, sigma^2) ]
+         - KL(q(u) || N(0, Kmm)),      w = T_total / |batch|
+
+with E[f_t] = psi1_t^T Kmm^{-1} m and
+
+  E[(y_t - f_t)^2] = y_t^2 - 2 y_t psi1_t^T a
+                     + tr((S + m m^T) Kmm^{-1} psi2_t Kmm^{-1})
+                     + psi0_t - tr(Kmm^{-1} psi2_t),  a = Kmm^{-1} m.
+
+All per-t quantities reduce through the ADDITIVE statistics (Psi0 sum, Psi1^T y,
+Psi2 sum), so one PsiStats evaluation per batch suffices and the data-parallel
+psum path applies unchanged.
+
+q(u) covariance parameterization: S_d = L_d L_d^T per output dim, L_d lower
+triangular with softplus-positive diagonal (stored unconstrained).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels import Kernel
+from ..linalg import cho_solve, default_jitter, hdot, jitchol, log_det_from_chol, solve_triangular
+from ..ops.psi_stats import PsiStats, psi_statistics
+from ..params import positive, positive_inv
+
+__all__ = ["init_qu", "qu_moments", "svi_bound", "svi_predict"]
+
+_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+def init_qu(M: int, D: int, *, init_scale: float = 0.1, dtype=jnp.float32):
+    """Variational q(u) parameters: means (M, D) and per-dim Cholesky factors.
+
+    ``log_diag`` stores the unconstrained diagonal; ``tril`` the strict lower
+    triangle (D, M, M) (upper part ignored).
+    """
+    return {
+        "m": jnp.zeros((M, D), dtype),
+        "log_diag": jnp.broadcast_to(positive_inv(jnp.asarray(init_scale, dtype)), (D, M)).copy(),
+        "tril": jnp.zeros((D, M, M), dtype),
+    }
+
+
+def qu_moments(qu):
+    """-> (m (M,D), S (D,M,M), L_S (D,M,M))."""
+    m = qu["m"]
+    diag = positive(qu["log_diag"])  # (D, M)
+    L = jnp.tril(qu["tril"], k=-1) + jax.vmap(jnp.diag)(diag)
+    S = jnp.einsum("dij,dkj->dik", L, L)
+    return m, S, L
+
+
+def svi_bound(
+    kern: Kernel,
+    kp,
+    Z,
+    log_noise,
+    qu,
+    stats: PsiStats,
+    Y,
+    *,
+    T_total: Optional[int] = None,
+    Y_var=None,
+    jitter: Optional[float] = None,
+):
+    """Minibatch ELBO. ``stats`` are the psi statistics of the batch inputs;
+    ``Y`` (B, D) the batch targets (optionally variational with ``Y_var``)."""
+    B, D = Y.shape
+    if T_total is None:
+        T_total = B
+    w = T_total / B
+    noise = positive(log_noise)
+    beta = 1.0 / noise
+
+    Kmm = kern.K(kp, Z)
+    if jitter is None:
+        jitter = default_jitter(Kmm.dtype)
+    Lm = jitchol(Kmm, jitter0=jitter)
+
+    m, S, L_S = qu_moments(qu)  # (M,D), (D,M,M)
+    a = cho_solve(Lm, m)  # Kmm^{-1} m, (M, D)
+
+    psi1Y = hdot(stats.psi1.T, Y)  # (M, D)
+    psi0_sum = jnp.sum(stats.psi0)
+    # Kmm^{-1} Psi2 Kmm^{-1} via solves
+    KiP2 = cho_solve(Lm, stats.psi2)  # Kmm^{-1} Psi2
+    KiP2Ki = cho_solve(Lm, KiP2.T).T  # Kmm^{-1} Psi2 Kmm^{-1} (symmetric)
+    tr_KiP2 = jnp.trace(KiP2)
+
+    # sum_t E[(y_t - f_t)^2] over the batch, all outputs
+    trYY = jnp.sum(Y * Y)
+    if Y_var is not None:
+        trYY = trYY + jnp.sum(Y_var)
+    cross = -2.0 * jnp.sum(psi1Y * a)
+    quad_m = jnp.einsum("md,mn,nd->", a, stats.psi2, a)
+    quad_S = jnp.einsum("dij,ij->", S, KiP2Ki)
+    sq_err = trYY + cross + quad_m + quad_S + D * (psi0_sum - tr_KiP2)
+
+    data_term = w * (-0.5 * B * D * (_LOG2PI + jnp.log(noise)) - 0.5 * beta * sq_err)
+
+    # KL(q(u) || N(0, Kmm)) summed over output dims
+    M_ = Z.shape[0]
+    Kim = cho_solve(Lm, m)  # (M, D)
+    mKm = jnp.sum(m * Kim)
+    tr_KiS = jnp.einsum("dij,ij->", S, cho_solve(Lm, jnp.eye(M_, dtype=m.dtype)))
+    logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jax.vmap(jnp.diagonal)(L_S))))
+    kl = 0.5 * (tr_KiS + mKm - M_ * D + D * log_det_from_chol(Lm) - logdet_S)
+
+    return data_term - kl
+
+
+def svi_predict(
+    kern: Kernel,
+    kp,
+    Z,
+    log_noise,
+    qu,
+    mu_star,
+    s_star=None,
+    *,
+    include_noise: bool = False,
+    jitter: Optional[float] = None,
+):
+    """Predictive at q(x*): mean = Psi1* Kmm^{-1} m; variance includes the
+    q(u) covariance and the psi-statistic moment-matching terms."""
+    from ..ops.psi_stats import psi2_per_t
+
+    noise = positive(log_noise)
+    Kmm = kern.K(kp, Z)
+    if jitter is None:
+        jitter = default_jitter(Kmm.dtype)
+    Lm = jitchol(Kmm, jitter0=jitter)
+    m, S, _ = qu_moments(qu)
+    a = cho_solve(Lm, m)  # (M, D)
+
+    stats = psi_statistics(kern, kp, Z, mu_star, s_star, block=None)
+    p2t = psi2_per_t(kern, kp, Z, mu_star, s_star)  # (T*, M, M)
+    mean = hdot(stats.psi1, a)  # (T*, D)
+
+    M_ = Z.shape[0]
+    Ki = cho_solve(Lm, jnp.eye(M_, dtype=m.dtype))
+    KiSKi = jnp.einsum("ij,djk,kl->dil", Ki, S, Ki)  # (D, M, M)
+
+    quad = jnp.einsum("md,tmn,nd->td", a, p2t, a)
+    tr_Ki = jnp.einsum("mn,tnm->t", Ki, p2t)
+    tr_S = jnp.einsum("dmn,tnm->td", KiSKi, p2t)
+    var = quad - mean * mean + (stats.psi0 - tr_Ki)[:, None] + tr_S
+    if include_noise:
+        var = var + noise
+    return mean, jnp.maximum(var, 1e-12)

@@ -24,6 +24,7 @@ __all__ = [
     "tdot",
     "default_jitter",
     "jitchol",
+    "jitchol_with_jitter",
     "solve_triangular",
     "cho_solve",
     "backsub_both_sides",
@@ -57,26 +58,26 @@ def default_jitter(dtype) -> float:
     return 1e-6 if jnp.dtype(dtype).itemsize >= 8 else 1e-4
 
 
-def jitchol(A, jitter0: float = 1e-6, max_tries: int = 8):
+def jitchol_with_jitter(A, jitter0: float = 1e-6, max_tries: int = 8):
     """Cholesky with escalating-jitter retry (reference ``jitchol`` [H]).
 
-    LAPACK raises on indefinite input; XLA instead returns NaN rows. We detect
-    NaN and retry with 10x jitter inside ``lax.while_loop`` so only the needed
-    factorization(s) execute. Jitter is scaled by mean(diag(A)) like the
-    reference. Batched: leading dims broadcast; the loop runs until every batch
-    element succeeds (failed elements get progressively more jitter; already
-    successful elements keep their factor via ``jnp.where``).
+    LAPACK raises on indefinite input; XLA instead returns NaN rows. Phase 1
+    (under ``stop_gradient``, since ``while_loop`` has no reverse rule) finds,
+    per batch element, the smallest jitter in the 10x escalation schedule whose
+    factorization succeeds; phase 2 performs ONE differentiable Cholesky at
+    that level, so gradients flow through XLA's built-in Cholesky JVP/VJP.
+    Jitter is scaled by mean(diag(A)) like the reference.
 
-    Returns the lower-triangular factor L with ``L @ L.T ~= A + jitter*I``.
+    Returns (L, absolute_jitter) with ``L @ L.T ~= A + absolute_jitter * I``.
+    The jitter is returned so a *consistent* jitter can enter a second related
+    factorization (e.g. log|Kmm + beta Psi2| - log|Kmm|, where the tiny
+    eigenvalues must cancel between the two factors).
     """
     A = jnp.asarray(A)
     diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
     scale = jnp.maximum(diag_mean, jnp.asarray(1e-30, A.dtype))
     jitter0 = jnp.asarray(jitter0, A.dtype)
 
-    # Phase 1 (non-differentiable): find, per batch element, the smallest jitter
-    # in the 10x escalation schedule whose factorization succeeds. while_loop has
-    # no reverse rule, so this search runs under stop_gradient.
     def _find_jitter(A_sg):
         def _failed(L):
             return jnp.isnan(L).any(axis=(-2, -1))
@@ -85,7 +86,6 @@ def jitchol(A, jitter0: float = 1e-6, max_tries: int = 8):
             return jnp.linalg.cholesky(_add_jitter(A_sg, jit_per_elt * scale))
 
         j0 = jnp.broadcast_to(jitter0, scale.shape)
-        L0 = attempt(j0)
 
         def cond(carry):
             jit, fail, i = carry
@@ -97,13 +97,19 @@ def jitchol(A, jitter0: float = 1e-6, max_tries: int = 8):
             fail = _failed(attempt(jit))
             return jit, fail, i + 1
 
-        jit, _, _ = lax.while_loop(cond, body, (j0, _failed(L0), jnp.asarray(0)))
+        jit, _, _ = lax.while_loop(
+            cond, body, (j0, _failed(attempt(j0)), jnp.asarray(0))
+        )
         return jit
 
     jitter = lax.stop_gradient(_find_jitter(lax.stop_gradient(A)))
-    # Phase 2 (differentiable): one Cholesky at the selected jitter level;
-    # gradients flow through XLA's built-in Cholesky JVP/VJP.
-    return jnp.linalg.cholesky(_add_jitter(A, jitter * scale))
+    L = jnp.linalg.cholesky(_add_jitter(A, jitter * scale))
+    return L, jitter * scale
+
+
+def jitchol(A, jitter0: float = 1e-6, max_tries: int = 8):
+    """Lower Cholesky factor of A + jitter*I (see :func:`jitchol_with_jitter`)."""
+    return jitchol_with_jitter(A, jitter0=jitter0, max_tries=max_tries)[0]
 
 
 def solve_triangular(L, B, *, lower: bool = True, trans: bool = False):

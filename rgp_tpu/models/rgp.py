@@ -48,6 +48,7 @@ from ..kernels import RBF, Kernel
 from ..ops.psi_stats import psi_statistics
 from ..params import positive, positive_inv
 from .encoder import init_mlp, mlp_apply
+from .sparse_gp import kmeans_init
 
 __all__ = ["LayerSpec", "RGPConfig", "init_params", "elbo", "freerun", "deep_rgp_config"]
 
@@ -164,6 +165,9 @@ def init_params(
         )  # (T + L, Q)
         mu_full = mu_full + 0.01 * rng.standard_normal(mu_full.shape)
         lam_full = np.full(mu_full.shape, lam_init)
+        # the initial-window latents (N(0,1) prior, length L) are stored
+        # separately from the T per-timestep latents so the time axis of the
+        # variational state is exactly shardable over the 'data' mesh axis
 
         # windowed input means for Z init
         own = np.asarray(lagged(jnp.asarray(mu_full), L))[L:]
@@ -172,16 +176,17 @@ def init_params(
         else:
             low = np.asarray(current_window(jnp.asarray(mu_prev_full[cfg.layers[h - 1].win:]), L))
         Xw = np.concatenate([own, low], axis=-1)
-        idx = rng.permutation(T)[: spec.num_inducing]
-        Z = Xw[idx] + 1e-3 * rng.standard_normal((spec.num_inducing, Xw.shape[1]))
+        Z = kmeans_init(Xw, spec.num_inducing, seed=seed + h)
 
         layers.append(
             {
                 "kern": spec.kernel.init(dtype=dtype),
                 "Z": jnp.asarray(Z, dtype),
                 "log_noise": positive_inv(jnp.asarray(noise, dtype)),
-                "mu": jnp.asarray(mu_full, dtype),
-                "log_lam": jnp.log(jnp.asarray(lam_full, dtype)),
+                "mu0": jnp.asarray(mu_full[:L], dtype),
+                "log_lam0": jnp.log(jnp.asarray(lam_full[:L], dtype)),
+                "mu": jnp.asarray(mu_full[L:], dtype),
+                "log_lam": jnp.log(jnp.asarray(lam_full[L:], dtype)),
             }
         )
         mu_prev_full = mu_full
@@ -189,8 +194,7 @@ def init_params(
     # output layer: inputs = window of top latents
     top = mu_prev_full[cfg.layers[-1].win:]
     Xout = np.asarray(current_window(jnp.asarray(top), cfg.out_win))
-    idx = rng.permutation(T)[: cfg.out_num_inducing]
-    Zout = Xout[idx] + 1e-3 * rng.standard_normal((cfg.out_num_inducing, Xout.shape[1]))
+    Zout = kmeans_init(Xout, cfg.out_num_inducing, seed=seed + 1000)
     out = {
         "kern": cfg.out_kernel.init(dtype=dtype),
         "Z": jnp.asarray(Zout, dtype),
@@ -229,10 +233,9 @@ def _hidden_means(cfg: RGPConfig, params, Y, U):
                 feats.append(current_window(U, cfg.u_win))
             enc_in = jnp.concatenate(feats, axis=-1)  # (T, win*Dy + u_win*Du)
             mu_t = mlp_apply(params["encoder"][h], enc_in)  # (T, Q)
-            mu_full = jnp.concatenate([lp["mu"][: spec.win], mu_t], axis=0)
         else:
-            mu_full = lp["mu"]
-        mus.append(mu_full)
+            mu_t = lp["mu"]
+        mus.append(jnp.concatenate([lp["mu0"], mu_t], axis=0))
     return mus
 
 
@@ -266,7 +269,9 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
         lp = params["layers"][h]
         L = spec.win
         mu_full = mus[h]
-        lam_full = jnp.exp(lp["log_lam"])
+        lam_full = jnp.concatenate(
+            [jnp.exp(lp["log_lam0"]), jnp.exp(lp["log_lam"])], axis=0
+        )
 
         X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
         tgt_mu = mu_full[L:]
@@ -313,7 +318,9 @@ def _posteriors(cfg: RGPConfig, params, Y, U, *, block=None):
         lp = params["layers"][h]
         L = spec.win
         mu_full = mus[h]
-        lam_full = jnp.exp(lp["log_lam"])
+        lam_full = jnp.concatenate(
+            [jnp.exp(lp["log_lam0"]), jnp.exp(lp["log_lam"])], axis=0
+        )
         X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
         stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
         posts.append(
@@ -360,10 +367,10 @@ def freerun(
     bufs_mu, bufs_s = [], []
     for h, spec in enumerate(cfg.layers):
         B = buf_lens[h]
-        lam_full = jnp.exp(params["layers"][h]["log_lam"])
+        lam_t = jnp.exp(params["layers"][h]["log_lam"])
         if init_from_train_tail:
             tail_mu = mus[h][-B:][::-1]
-            tail_s = lam_full[-B:][::-1]
+            tail_s = lam_t[-B:][::-1]
         else:
             tail_mu = jnp.zeros((B, spec.q_dim), dtype=U_test.dtype)
             tail_s = jnp.ones((B, spec.q_dim), dtype=U_test.dtype)

@@ -1,0 +1,96 @@
+"""Distributed-semantics tests on the 8-device virtual CPU mesh
+(SURVEY.md S4 item 5): sharded ELBO == single-device ELBO, gradients too."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgp_tpu.inference.collapsed_vi import collapsed_bound
+from rgp_tpu.kernels import RBF
+from rgp_tpu.models import sparse_gp
+from rgp_tpu.ops.psi_stats import psi_statistics
+from rgp_tpu.parallel import mesh as pmesh
+
+
+def _problem(rng, T=64, Q=3, M=8, uncertain=True):
+    X_mu = jnp.asarray(rng.standard_normal((T, Q)))
+    X_s = jnp.asarray(rng.uniform(0.05, 0.3, (T, Q))) if uncertain else None
+    Y = jnp.asarray(rng.standard_normal((T, 2)))
+    kern = RBF(input_dim=Q)
+    cfg = sparse_gp.SparseGPConfig(kern, M)
+    params = sparse_gp.init_params(cfg, np.asarray(X_mu), noise=0.3, dtype=jnp.float64)
+    return kern, params, X_mu, X_s, Y
+
+
+def test_mesh_construction():
+    m = pmesh.make_mesh(data=4, chain=2)
+    assert m.shape == {"data": 4, "chain": 2, "particle": 1}
+
+
+def test_sharded_elbo_matches_single_device(rng):
+    kern, params, X_mu, X_s, Y = _problem(rng)
+    stats = psi_statistics(kern, params["kern"], params["Z"], X_mu, X_s, block=None)
+    ref = float(
+        collapsed_bound(kern, params["kern"], params["Z"], params["log_noise"], stats, Y)
+    )
+    m = pmesh.make_mesh(data=8)
+    out = float(
+        pmesh.data_parallel_collapsed_elbo(
+            kern, params["kern"], params["Z"], params["log_noise"],
+            X_mu, X_s, Y, None, m,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-10)
+
+
+def test_sharded_elbo_certain_inputs(rng):
+    kern, params, X_mu, _, Y = _problem(rng, uncertain=False)
+    stats = psi_statistics(kern, params["kern"], params["Z"], X_mu, None, block=None)
+    ref = float(
+        collapsed_bound(kern, params["kern"], params["Z"], params["log_noise"], stats, Y)
+    )
+    m = pmesh.make_mesh(data=8)
+    out = float(
+        pmesh.data_parallel_collapsed_elbo(
+            kern, params["kern"], params["Z"], params["log_noise"],
+            X_mu, None, Y, None, m,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-10)
+
+
+def test_sharded_elbo_gradients_match(rng):
+    """Gradients w.r.t. hyperparameters flow through psum correctly."""
+    kern, params, X_mu, X_s, Y = _problem(rng)
+    m = pmesh.make_mesh(data=8)
+
+    def f_ref(p):
+        stats = psi_statistics(kern, p["kern"], p["Z"], X_mu, X_s, block=None)
+        return collapsed_bound(kern, p["kern"], p["Z"], p["log_noise"], stats, Y)
+
+    def f_dist(p):
+        return pmesh.data_parallel_collapsed_elbo(
+            kern, p["kern"], p["Z"], p["log_noise"], X_mu, X_s, Y, None, m
+        )
+
+    g_ref = jax.grad(f_ref)(params)
+    g_dist = jax.grad(f_dist)(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dist)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_elbo_jit_and_training_step(rng):
+    kern, params, X_mu, X_s, Y = _problem(rng)
+    m = pmesh.make_mesh(data=8)
+
+    @jax.jit
+    def step(p):
+        return jax.value_and_grad(
+            lambda q: -pmesh.data_parallel_collapsed_elbo(
+                kern, q["kern"], q["Z"], q["log_noise"], X_mu, X_s, Y, None, m
+            )
+        )(p)
+
+    v, g = step(params)
+    assert np.isfinite(float(v))
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
