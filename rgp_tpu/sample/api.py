@@ -1,0 +1,192 @@
+"""High-level sampling entry points over RGP models (SURVEY.md Appendix B).
+
+``sample_nuts(cfg, params, Y, U, ...)`` — NUTS over the *kernel hyperparameters*
+(kernel params + noises) in unconstrained space, holding the variational state
+q(X) and inducing inputs fixed, with potential
+
+    U(theta) = -[ ELBO(theta; q fixed) + log p(theta) ]
+
+where the prior is N(0, prior_std^2) placed directly on the unconstrained
+parameters (so no separate Jacobian term; SURVEY.md A.5 / S3.5 — the VI bound
+stands in for the marginal likelihood exactly as in the reference's HMC).
+
+``smc(cfg, params, ...)`` — particle filter over latent trajectories of the
+trained model (see rgp_smc.make_ssm).
+
+Chain parallelism: ``nuts_sharded`` shard_maps chains over the mesh 'chain'
+axis; dual-averaging statistics psum-average across every chain on every
+device so adaptation is globally shared (BASELINE.json:5,11).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import rgp, rgp_smc
+from ..params import ravel
+from .hmc import hmc_sample
+from .nuts import NUTSResult, nuts_sample
+from .smc import smc_filter, smc_filter_sharded
+
+__all__ = [
+    "split_hypers",
+    "merge_hypers",
+    "make_rgp_potential",
+    "sample_nuts",
+    "sample_hmc",
+    "nuts_sharded",
+    "smc",
+]
+
+
+def split_hypers(params):
+    """Extract the hyperparameter subtree (kernel params + noises)."""
+    return {
+        "layers": tuple(
+            {"kern": l["kern"], "log_noise": l["log_noise"]} for l in params["layers"]
+        ),
+        "out": {"kern": params["out"]["kern"], "log_noise": params["out"]["log_noise"]},
+    }
+
+
+def merge_hypers(params, hyper):
+    """Rebuild a full parameter pytree with the hyper subtree replaced."""
+    layers = tuple(
+        {**l, "kern": h["kern"], "log_noise": h["log_noise"]}
+        for l, h in zip(params["layers"], hyper["layers"])
+    )
+    out = {**params["out"], "kern": hyper["out"]["kern"], "log_noise": hyper["out"]["log_noise"]}
+    return {**params, "layers": layers, "out": out}
+
+
+def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None):
+    """-> (potential_fn over flat unconstrained vector, initial vector, unravel)."""
+    hyper0 = split_hypers(params)
+    flat0, unravel = ravel(hyper0)
+    Y = jnp.asarray(Y)
+    U = jnp.asarray(U)
+
+    def potential(v):
+        p = merge_hypers(params, unravel(v))
+        lp = rgp.elbo(cfg, p, Y, U, block=block)
+        log_prior = -0.5 * jnp.sum((v / prior_std) ** 2)
+        return -(lp + log_prior)
+
+    return potential, flat0, unravel
+
+
+def sample_nuts(
+    cfg,
+    params,
+    Y,
+    U,
+    key,
+    *,
+    n_samples: int = 200,
+    n_warmup: int = 200,
+    n_chains: int = 4,
+    max_depth: int = 6,
+    prior_std: float = 3.0,
+    jitter_init: float = 0.1,
+    **nuts_kw,
+) -> NUTSResult:
+    """NUTS over RGP hyperparameters (Appendix B ``rgp.sample_nuts``)."""
+    potential, flat0, _ = make_rgp_potential(cfg, params, Y, U, prior_std=prior_std)
+    k_init, k_run = jax.random.split(jnp.asarray(key))
+    z0 = flat0[None, :] + jitter_init * jax.random.normal(
+        k_init, (n_chains, flat0.shape[0]), flat0.dtype
+    )
+    return nuts_sample(
+        potential, z0, k_run,
+        n_samples=n_samples, n_warmup=n_warmup, n_chains=n_chains,
+        max_depth=max_depth, **nuts_kw,
+    )
+
+
+def sample_hmc(cfg, params, Y, U, key, *, prior_std: float = 3.0, **hmc_kw):
+    """Reference-parity vanilla HMC over RGP hyperparameters (S3.5)."""
+    potential, flat0, _ = make_rgp_potential(cfg, params, Y, U, prior_std=prior_std)
+    return hmc_sample(potential, flat0, jnp.asarray(key), **hmc_kw)
+
+
+def nuts_sharded(
+    potential_fn,
+    z0,
+    key,
+    mesh: Mesh,
+    *,
+    n_chains: int,
+    axis: str = "chain",
+    **nuts_kw,
+) -> NUTSResult:
+    """Chain-sharded NUTS: chains split over the mesh axis; dual-averaging and
+    mass adaptation statistics pmean over ALL chains (globally shared
+    step size, BASELINE.json:5)."""
+    n_dev = mesh.shape[axis]
+    assert n_chains % n_dev == 0, "n_chains must divide the chain axis size"
+    per_dev = n_chains // n_dev
+    z0 = jnp.atleast_2d(z0)
+    if z0.shape[0] != n_chains:
+        z0 = jnp.broadcast_to(z0, (n_chains, z0.shape[-1]))
+
+    def _run(z0_local, keys_local):
+        return nuts_sample(
+            potential_fn,
+            z0_local,
+            keys_local[0],
+            n_chains=per_dev,
+            chain_axis=axis,
+            **nuts_kw,
+        )
+
+    # one independent key per device
+    keys = jax.random.split(jnp.asarray(key), n_dev)
+    run = jax.shard_map(
+        _run,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=NUTSResult(
+            samples=P(axis), potential=P(axis), accept_prob=P(axis),
+            diverging=P(axis), step_size=P(), mass_inv=P(),
+        ),
+        # the NUTS loop carries mix per-chain state with replicated constants;
+        # skip the static varying-axes inference (runtime semantics unchanged:
+        # step_size/mass are pmean-shared, per-chain outputs are sharded)
+        check_vma=False,
+    )
+    return run(z0, keys)
+
+
+def smc(
+    cfg,
+    params,
+    Y_train,
+    U_train,
+    U_test,
+    Y_test,
+    key,
+    *,
+    n_particles: int = 1024,
+    mesh: Optional[Mesh] = None,
+    axis: str = "particle",
+    ess_threshold: float = 0.5,
+):
+    """Particle filter over latent trajectories of the trained model
+    (Appendix B ``rgp.smc``). With a mesh, particles shard over ``axis``."""
+    ssm = rgp_smc.make_ssm(cfg, params, Y_train, U_train, U_test, Y_test)
+    if mesh is None:
+        return smc_filter(
+            ssm.transition_sample, ssm.emission_logpdf, ssm.init_sample,
+            ssm.n_steps, jnp.asarray(key), n_particles,
+            ess_threshold=ess_threshold,
+        )
+    return smc_filter_sharded(
+        ssm.transition_sample, ssm.emission_logpdf, ssm.init_sample,
+        ssm.n_steps, jnp.asarray(key), n_particles, mesh,
+        axis=axis, ess_threshold=ess_threshold,
+    )

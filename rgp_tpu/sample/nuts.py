@@ -1,0 +1,427 @@
+"""No-U-Turn Sampler, TPU-native: fixed-shape iterative doubling under
+``lax.while_loop`` — no recursion, no host callbacks, fully ``vmap``-able over
+chains and shardable over the mesh 'chain' axis.
+
+Mandated addition beyond the reference (SURVEY.md A.5, S2.2 "HMC", config 5 of
+BASELINE.json:11 — the reference has only vanilla HMC). Implements:
+
+* multinomial (progressive) sampling over tree leaves (Betancourt 2017),
+* the iterative within-subtree U-turn scheme: a dyadic interval [a, n] of size
+  2^k completes exactly when (n+1) % 2^k == 0; its start state was checkpointed
+  when leaf a (a % 2^k == 0) was added — so a stack of max_depth checkpoints of
+  (momentum, cumulative momentum sum) suffices to perform every required
+  generalized-U-turn check without recursion,
+* dual-averaging step-size adaptation (Hoffman & Gelman 2014) targeting
+  ``target_accept``, with diagonal mass-matrix (Welford) estimation during the
+  middle warmup window,
+* divergence detection (energy error > 1000).
+
+Chain parallelism (SURVEY.md S2.4): chains are vmapped; with a mesh, the chain
+axis is sharded and the dual-averaging statistic is psum-shared so all chains
+adapt a common step size (BASELINE.json:5 "dual-averaging step-size adaptation"
+across the mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["nuts_sample", "NUTSResult"]
+
+_DIVERGENCE = 1000.0
+
+
+class NUTSResult(NamedTuple):
+    samples: jnp.ndarray  # (n_chains, n_samples, dim)
+    potential: jnp.ndarray  # (n_chains, n_samples)
+    accept_prob: jnp.ndarray  # (n_chains, n_samples)
+    diverging: jnp.ndarray  # (n_chains, n_samples) bool
+    step_size: jnp.ndarray  # final adapted step size (scalar)
+    mass_inv: jnp.ndarray  # final diagonal inverse mass (dim,)
+
+
+def _is_turning(v_left, v_right, r_sum):
+    """Generalized U-turn criterion on velocities."""
+    return jnp.logical_or(
+        jnp.dot(r_sum, v_left) <= 0.0, jnp.dot(r_sum, v_right) <= 0.0
+    )
+
+
+class _TreeState(NamedTuple):
+    z_left: jnp.ndarray
+    r_left: jnp.ndarray
+    z_right: jnp.ndarray
+    r_right: jnp.ndarray
+    z_prop: jnp.ndarray
+    U_prop: jnp.ndarray
+    log_weight: jnp.ndarray  # log sum_leaves exp(H0 - H_leaf)
+    r_sum: jnp.ndarray
+    sum_accept: jnp.ndarray
+    n_leaves: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+
+
+def _build_subtree(
+    potential_fn, grad_fn, z0, r0, direction, depth, step_size, mass_inv, H0, key, max_depth
+):
+    """Iteratively add 2^depth leapfrog leaves going outward from (z0, r0).
+
+    Returns a _TreeState for the subtree (left endpoint = first leaf, right
+    endpoint = last leaf, in trajectory order along `direction`).
+    """
+    dim = z0.shape[0]
+    n_leaf_max = jnp.asarray(2, jnp.int32) ** depth
+    eps = direction * step_size
+
+    def leapfrog(z, r):
+        r = r - 0.5 * eps * grad_fn(z)
+        z = z + eps * mass_inv * r
+        r = r - 0.5 * eps * grad_fn(z)
+        return z, r
+
+    # checkpoint stacks, one slot per level k = 0..max_depth-1
+    r_ckpt = jnp.zeros((max_depth, dim), z0.dtype)
+    s_ckpt = jnp.zeros((max_depth, dim), z0.dtype)
+
+    init = dict(
+        n=jnp.asarray(0, jnp.int32),
+        z=z0,
+        r=r0,
+        z_first=z0,
+        r_first=r0,
+        z_prop=z0,
+        U_prop=jnp.asarray(jnp.inf, z0.dtype),
+        log_weight=jnp.asarray(-jnp.inf, z0.dtype),
+        r_sum=jnp.zeros(dim, z0.dtype),
+        sum_accept=jnp.asarray(0.0, z0.dtype),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        r_ckpt=r_ckpt,
+        s_ckpt=s_ckpt,
+        key=key,
+    )
+
+    def cond(st):
+        return jnp.logical_and(
+            st["n"] < n_leaf_max,
+            jnp.logical_not(jnp.logical_or(st["turning"], st["diverging"])),
+        )
+
+    def body(st):
+        n = st["n"]
+        z, r = leapfrog(st["z"], st["r"])
+        U = potential_fn(z)
+        H = U + 0.5 * jnp.sum(mass_inv * r * r)
+        delta = H - H0
+        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+        diverging = delta > _DIVERGENCE
+        lw_leaf = -delta  # log multinomial weight
+        accept_p = jnp.minimum(1.0, jnp.exp(-delta))
+
+        # first leaf of the subtree is its left endpoint (trajectory order)
+        z_first = jnp.where(n == 0, z, st["z_first"])
+        r_first = jnp.where(n == 0, r, st["r_first"])
+
+        # progressive multinomial proposal within the subtree
+        new_lw = jnp.logaddexp(st["log_weight"], lw_leaf)
+        key, sub = jax.random.split(st["key"])
+        take = jnp.log(jax.random.uniform(sub)) < (lw_leaf - new_lw)
+        z_prop = jnp.where(take, z, st["z_prop"])
+        U_prop = jnp.where(take, U, st["U_prop"])
+
+        # --- iterative U-turn bookkeeping -------------------------------
+        # store checkpoints: leaf n opens a dyadic interval of size 2^k for
+        # every k with n % 2^k == 0 -> slot k := (r_n, r_sum_before_n)
+        levels = jnp.arange(1, max_depth + 1, dtype=jnp.int32)  # interval sizes 2^k
+        pow2 = jnp.asarray(2, jnp.int32) ** levels
+        opens = (n % pow2) == 0  # (max_depth,)
+        r_ck = jnp.where(opens[:, None], r[None, :], st["r_ckpt"])
+        s_ck = jnp.where(opens[:, None], st["r_sum"][None, :], st["s_ckpt"])
+
+        r_sum = st["r_sum"] + r
+
+        # intervals completing at n: (n+1) % 2^k == 0
+        closes = ((n + 1) % pow2) == 0
+        seg_sum = r_sum[None, :] - s_ck  # (max_depth, dim) momentum sums
+        v_seg_left = mass_inv[None, :] * r_ck
+        v_leaf = mass_inv * r
+        turn_k = jnp.logical_or(
+            jnp.einsum("kd,kd->k", seg_sum, v_seg_left) <= 0.0,
+            seg_sum @ v_leaf <= 0.0,
+        )
+        turning = jnp.any(jnp.logical_and(closes, turn_k))
+
+        return dict(
+            n=n + 1,
+            z=z,
+            r=r,
+            z_first=z_first,
+            r_first=r_first,
+            z_prop=z_prop,
+            U_prop=U_prop,
+            log_weight=new_lw,
+            r_sum=r_sum,
+            sum_accept=st["sum_accept"] + accept_p,
+            turning=turning,
+            diverging=diverging,
+            r_ckpt=r_ck,
+            s_ckpt=s_ck,
+            key=key,
+        )
+
+    st = lax.while_loop(cond, body, init)
+    return _TreeState(
+        z_left=st["z_first"],
+        r_left=st["r_first"],
+        z_right=st["z"],
+        r_right=st["r"],
+        z_prop=st["z_prop"],
+        U_prop=st["U_prop"],
+        log_weight=st["log_weight"],
+        r_sum=st["r_sum"],
+        sum_accept=st["sum_accept"],
+        n_leaves=st["n"],
+        turning=st["turning"],
+        diverging=st["diverging"],
+    )
+
+
+def _nuts_transition(potential_fn, grad_fn, z, key, step_size, mass_inv, max_depth):
+    dim = z.shape[0]
+    k_mom, k_loop = jax.random.split(key)
+    r0 = jnp.sqrt(1.0 / mass_inv) * jax.random.normal(k_mom, (dim,), z.dtype)
+    U0 = potential_fn(z)
+    H0 = U0 + 0.5 * jnp.sum(mass_inv * r0 * r0)
+
+    init = dict(
+        depth=jnp.asarray(0, jnp.int32),
+        z_left=z,
+        r_left=r0,
+        z_right=z,
+        r_right=r0,
+        z_prop=z,
+        U_prop=U0,
+        log_weight=jnp.asarray(0.0, z.dtype),  # root leaf weight exp(H0-H0)=1
+        r_sum=r0,
+        sum_accept=jnp.asarray(0.0, z.dtype),
+        n_leaves=jnp.asarray(1, jnp.int32),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        key=k_loop,
+    )
+
+    def cond(st):
+        return jnp.logical_and(
+            st["depth"] < max_depth,
+            jnp.logical_not(jnp.logical_or(st["turning"], st["diverging"])),
+        )
+
+    def body(st):
+        key, k_dir, k_sub, k_acc = jax.random.split(st["key"], 4)
+        go_right = jax.random.bernoulli(k_dir)
+        direction = jnp.where(go_right, 1.0, -1.0).astype(z.dtype)
+        z_start = jnp.where(go_right, st["z_right"], st["z_left"])
+        r_start = jnp.where(go_right, st["r_right"], st["r_left"])
+
+        sub = _build_subtree(
+            potential_fn, grad_fn, z_start, r_start, direction, st["depth"],
+            step_size, mass_inv, H0, k_sub, max_depth,
+        )
+
+        # update endpoints (sub endpoints are in trajectory order)
+        z_left = jnp.where(go_right, st["z_left"], sub.z_right)
+        r_left = jnp.where(go_right, st["r_left"], sub.r_right)
+        z_right = jnp.where(go_right, sub.z_right, st["z_right"])
+        r_right = jnp.where(go_right, sub.r_right, st["r_right"])
+
+        # biased progressive sampling across the doubling
+        ok = jnp.logical_not(jnp.logical_or(sub.turning, sub.diverging))
+        take = jnp.logical_and(
+            ok,
+            jnp.log(jax.random.uniform(k_acc)) < (sub.log_weight - st["log_weight"]),
+        )
+        z_prop = jnp.where(take, sub.z_prop, st["z_prop"])
+        U_prop = jnp.where(take, sub.U_prop, st["U_prop"])
+
+        r_sum = st["r_sum"] + sub.r_sum
+        v_left = mass_inv * r_left
+        v_right = mass_inv * r_right
+        turning_total = jnp.logical_or(sub.turning, _is_turning(v_left, v_right, r_sum))
+
+        return dict(
+            depth=st["depth"] + 1,
+            z_left=z_left,
+            r_left=r_left,
+            z_right=z_right,
+            r_right=r_right,
+            z_prop=z_prop,
+            U_prop=U_prop,
+            log_weight=jnp.logaddexp(st["log_weight"], jnp.where(ok, sub.log_weight, -jnp.inf)),
+            r_sum=r_sum,
+            sum_accept=st["sum_accept"] + sub.sum_accept,
+            n_leaves=st["n_leaves"] + sub.n_leaves,
+            turning=turning_total,
+            diverging=sub.diverging,
+            key=key,
+        )
+
+    st = lax.while_loop(cond, body, init)
+    accept_stat = st["sum_accept"] / jnp.maximum(st["n_leaves"] - 1, 1)
+    return st["z_prop"], st["U_prop"], accept_stat, st["diverging"]
+
+
+# ------------------------------------------------------------- dual averaging
+
+
+class _DAState(NamedTuple):
+    log_eps: jnp.ndarray
+    log_eps_avg: jnp.ndarray
+    h_avg: jnp.ndarray
+    t: jnp.ndarray
+    mu: jnp.ndarray
+
+
+def _da_init(step_size0):
+    return _DAState(
+        log_eps=jnp.log(step_size0),
+        log_eps_avg=jnp.log(step_size0),
+        h_avg=jnp.asarray(0.0),
+        t=jnp.asarray(0.0),
+        mu=jnp.log(10.0 * step_size0),
+    )
+
+
+def _da_update(state: _DAState, accept_stat, target):
+    t = state.t + 1.0
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    h_avg = (1.0 - 1.0 / (t + t0)) * state.h_avg + (target - accept_stat) / (t + t0)
+    log_eps = state.mu - jnp.sqrt(t) / gamma * h_avg
+    eta = t ** (-kappa)
+    log_eps_avg = eta * log_eps + (1.0 - eta) * state.log_eps_avg
+    return _DAState(log_eps, log_eps_avg, h_avg, t, state.mu)
+
+
+# ------------------------------------------------------------------ sampler
+
+
+def nuts_sample(
+    potential_fn: Callable,
+    z0,
+    key,
+    *,
+    n_samples: int = 500,
+    n_warmup: int = 300,
+    max_depth: int = 8,
+    step_size: float = 0.1,
+    target_accept: float = 0.8,
+    n_chains: int = 1,
+    adapt_mass: bool = True,
+    chain_axis: Optional[str] = None,
+) -> NUTSResult:
+    """Run NUTS with dual-averaging warmup.
+
+    ``z0``: (dim,) or (n_chains, dim). ``chain_axis``: when running inside
+    ``shard_map`` with chains sharded over a mesh axis, pass its name — the
+    dual-averaging accept statistic and mass estimates are then psum-averaged
+    across ALL chains so every device adapts identically (BASELINE.json:5).
+    """
+    z0 = jnp.atleast_2d(z0)
+    if z0.shape[0] != n_chains:
+        z0 = jnp.broadcast_to(z0, (n_chains, z0.shape[-1]))
+    dim = z0.shape[-1]
+    grad_fn = jax.grad(potential_fn)
+
+    def _mean_over_chains(x):
+        m = jnp.mean(x)
+        if chain_axis is not None:
+            m = lax.pmean(m, chain_axis)
+        return m
+
+    def _mean_over_chains_vec(x):
+        m = jnp.mean(x, axis=0)
+        if chain_axis is not None:
+            m = lax.pmean(m, chain_axis)
+        return m
+
+    # ---- warmup: dual averaging + Welford mass estimation
+    mass_inv0 = jnp.ones(dim, z0.dtype)
+    da0 = _da_init(jnp.asarray(step_size, z0.dtype))
+    welford0 = (jnp.zeros(dim, z0.dtype), jnp.zeros(dim, z0.dtype), jnp.asarray(0.0, z0.dtype))
+    mid_lo, mid_hi = int(0.15 * n_warmup), int(0.9 * n_warmup)
+
+    def warmup_step(carry, inp):
+        zs, da, welford, mass_inv = carry
+        i, keys = inp
+        eps = jnp.exp(da.log_eps)
+        zP, UP, acc, div = jax.vmap(
+            lambda zc, kc: _nuts_transition(
+                potential_fn, grad_fn, zc, kc, eps, mass_inv, max_depth
+            )
+        )(zs, keys)
+        da = _da_update(da, _mean_over_chains(acc), target_accept)
+
+        # Welford over the middle window (shared across chains)
+        mean, m2, cnt = welford
+        in_mid = jnp.logical_and(i >= mid_lo, i < mid_hi)
+        zbar = _mean_over_chains_vec(zP)
+        cnt_new = cnt + 1.0
+        delta = zbar - mean
+        mean_new = mean + delta / cnt_new
+        m2_new = m2 + delta * (zbar - mean_new)
+        welford = jax.tree.map(
+            lambda new, old: jnp.where(in_mid, new, old),
+            (mean_new, m2_new, cnt_new),
+            (mean, m2, cnt),
+        )
+
+        # at the end of the middle window, switch in the new mass matrix and
+        # restart dual averaging from the averaged step size
+        at_switch = i == mid_hi
+        if adapt_mass:
+            var = welford[1] / jnp.maximum(welford[2] - 1.0, 1.0)
+            var = jnp.where(welford[2] > 2.0, var, jnp.ones_like(var))
+            # regularized (Stan-style shrinkage toward 1)
+            n = welford[2]
+            var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+            mass_inv = jnp.where(at_switch, var, mass_inv)
+        da_reset = _da_init(jnp.exp(da.log_eps_avg))
+        da = jax.tree.map(
+            lambda a, b: jnp.where(at_switch, a, b), da_reset, da
+        )
+        return (zP, da, welford, mass_inv), None
+
+    keys = jax.random.split(key, (n_warmup + n_samples + 1) * n_chains).reshape(
+        n_warmup + n_samples + 1, n_chains, 2
+    )
+    carry = (z0, da0, welford0, mass_inv0)
+    if n_warmup > 0:
+        carry, _ = lax.scan(
+            warmup_step, carry, (jnp.arange(n_warmup), keys[:n_warmup])
+        )
+    zs, da, _, mass_inv = carry
+    eps_final = jnp.exp(da.log_eps_avg)
+
+    # ---- sampling
+    def sample_step(zs, keys):
+        zP, UP, acc, div = jax.vmap(
+            lambda zc, kc: _nuts_transition(
+                potential_fn, grad_fn, zc, kc, eps_final, mass_inv, max_depth
+            )
+        )(zs, keys)
+        return zP, (zP, UP, acc, div)
+
+    _, (samples, Us, accs, divs) = lax.scan(
+        sample_step, zs, keys[n_warmup : n_warmup + n_samples]
+    )
+    # (n_samples, n_chains, ...) -> (n_chains, n_samples, ...)
+    samples = jnp.swapaxes(samples, 0, 1)
+    Us = jnp.swapaxes(Us, 0, 1)
+    accs = jnp.swapaxes(accs, 0, 1)
+    divs = jnp.swapaxes(divs, 0, 1)
+    return NUTSResult(samples, Us, accs, divs, eps_final, mass_inv)

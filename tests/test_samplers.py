@@ -1,0 +1,179 @@
+"""Sampler tests: HMC/NUTS on analytic targets, NUTS on GP hyperparameters,
+SMC vs exact Kalman filter, sharded == single-device (SURVEY.md S4 items 5-6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgp_tpu.parallel import mesh as pmesh
+from rgp_tpu.sample import smc as smc_mod
+from rgp_tpu.sample.hmc import hmc_sample
+from rgp_tpu.sample.nuts import nuts_sample
+
+
+# ----------------------------------------------------------------- targets
+
+
+def _gauss_potential(cov):
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def U(z):
+        return 0.5 * z @ prec @ z
+
+    return U
+
+
+def test_hmc_gaussian_moments():
+    cov = np.array([[1.0, 0.6], [0.6, 2.0]])
+    U = _gauss_potential(cov)
+    res = hmc_sample(
+        U, jnp.zeros(2), jax.random.PRNGKey(0),
+        n_samples=2000, n_warmup=200, step_size=0.4, n_leapfrog=12, n_chains=4,
+    )
+    s = np.asarray(res.samples).reshape(-1, 2)
+    assert np.asarray(res.accept_prob).mean() > 0.6
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.3)
+
+
+def test_nuts_gaussian_moments():
+    cov = np.array([[1.0, 0.8, 0.0], [0.8, 1.5, 0.3], [0.0, 0.3, 0.5]])
+    U = _gauss_potential(cov)
+    res = nuts_sample(
+        U, jnp.zeros(3), jax.random.PRNGKey(1),
+        n_samples=1500, n_warmup=500, n_chains=4, max_depth=7,
+    )
+    s = np.asarray(res.samples).reshape(-1, 3)
+    assert not np.asarray(res.diverging).any()
+    assert np.asarray(res.accept_prob).mean() > 0.6
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.35)
+
+
+def test_nuts_mass_adaptation_scales():
+    """Badly scaled Gaussian: adapted inverse mass should track the variances."""
+    var = np.array([100.0, 0.01])
+    U = _gauss_potential(np.diag(var))
+    res = nuts_sample(
+        U, jnp.zeros(2), jax.random.PRNGKey(2),
+        n_samples=800, n_warmup=800, n_chains=2, max_depth=8,
+    )
+    mi = np.asarray(res.mass_inv)
+    # ratio of adapted scales should approximate the variance ratio within 10x
+    assert mi[0] / mi[1] > 100.0, mi
+    s = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.var(0), var, rtol=0.5)
+
+
+def test_nuts_on_gp_hyperparameters(rng):
+    """NUTS over exact-GP hyperparameters: finite, mixing, plausible region."""
+    from rgp_tpu.kernels import RBF
+    from rgp_tpu.models import gp
+    from rgp_tpu.params import ravel
+
+    X = jnp.asarray(rng.standard_normal((30, 2)))
+    Y = jnp.asarray(np.sin(np.asarray(X).sum(-1, keepdims=True)) + 0.1 * rng.standard_normal((30, 1)))
+    cfg = gp.GPConfig(RBF(input_dim=2))
+    params = gp.init_params(cfg, noise=0.2, dtype=jnp.float64)
+    flat0, unravel = ravel(params)
+
+    def potential(v):
+        return -(gp.log_marginal(cfg, unravel(v), X, Y) - 0.5 * jnp.sum((v / 3.0) ** 2))
+
+    res = nuts_sample(
+        potential, flat0, jax.random.PRNGKey(3),
+        n_samples=200, n_warmup=200, n_chains=2, max_depth=6,
+    )
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert np.asarray(res.accept_prob).mean() > 0.5
+    assert np.asarray(res.diverging).mean() < 0.2
+
+
+# --------------------------------------------------------------------- SMC
+
+
+def _lgssm(T=40, a=0.9, q=0.3, r=0.4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.zeros(T)
+    y = np.zeros(T)
+    x_prev = 0.0
+    for t in range(T):
+        x[t] = a * x_prev + q * rng.standard_normal()
+        y[t] = x[t] + r * rng.standard_normal()
+        x_prev = x[t]
+    return x, y
+
+
+def _kalman_loglik(y, a, q, r):
+    """Exact log p(y) for the scalar LGSSM x_t = a x_{t-1} + N(0,q^2), y = x + N(0,r^2)."""
+    m, P = 0.0, q**2 / (1 - a**2) if a < 1 else q**2
+    m, P = 0.0, q**2  # prior x_1 ~ N(0, q^2) to match the generator
+    ll = 0.0
+    for t in range(len(y)):
+        if t > 0:
+            m, P = a * m, a**2 * P + q**2
+        S = P + r**2
+        ll += -0.5 * np.log(2 * np.pi * S) - 0.5 * (y[t] - m) ** 2 / S
+        K = P / S
+        m = m + K * (y[t] - m)
+        P = (1 - K) * P
+    return ll
+
+
+def _make_lgssm_closures(y, a, q, r):
+    y = jnp.asarray(y)
+
+    def transition_sample(keys, parts, t):
+        def one(k, x):
+            return a * x + q * jax.random.normal(k, x.shape, x.dtype)
+
+        prev = jnp.where(t == 0, jnp.zeros_like(parts), parts)
+        return jax.vmap(one)(keys, prev)
+
+    def emission_logpdf(parts, t):
+        return (
+            -0.5 * jnp.log(2 * jnp.pi * r**2)
+            - 0.5 * (y[t] - parts[:, 0]) ** 2 / r**2
+        )
+
+    def init_sample(key, n):
+        return jnp.zeros((n, 1))
+
+    return transition_sample, emission_logpdf, init_sample
+
+
+def test_smc_matches_kalman():
+    a, q, r = 0.9, 0.3, 0.4
+    x, y = _lgssm(T=40, a=a, q=q, r=r)
+    exact = _kalman_loglik(y, a, q, r)
+    tr, em, init = _make_lgssm_closures(y, a, q, r)
+    res = smc_mod.smc_filter(tr, em, init, 40, jax.random.PRNGKey(0), 4096)
+    est = float(res.log_marginal)
+    assert abs(est - exact) < 0.5, (est, exact)
+
+
+def test_smc_sharded_matches_single_device():
+    a, q, r = 0.9, 0.3, 0.4
+    _, y = _lgssm(T=30, a=a, q=q, r=r)
+    tr, em, init = _make_lgssm_closures(y, a, q, r)
+    key = jax.random.PRNGKey(7)
+    single = smc_mod.smc_filter(tr, em, init, 30, key, 512)
+    m = pmesh.make_mesh(particle=8)
+    sharded = smc_mod.smc_filter_sharded(tr, em, init, 30, key, 512, m)
+    np.testing.assert_allclose(
+        float(sharded.log_marginal), float(single.log_marginal), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.particles), np.asarray(single.particles), rtol=1e-8
+    )
+
+
+def test_systematic_resample_properties():
+    key = jax.random.PRNGKey(0)
+    log_w = jnp.log(jnp.asarray([0.5, 0.25, 0.125, 0.125]))
+    idx = smc_mod.systematic_resample(key, log_w)
+    counts = np.bincount(np.asarray(idx), minlength=4)
+    # systematic resampling: counts within 1 of N*w
+    expected = 4 * np.exp(np.asarray(log_w) - 0)
+    assert np.all(np.abs(counts - expected) <= 1)

@@ -1,0 +1,93 @@
+"""Model-level sampling APIs: NUTS over RGP hyperparameters, SMC over latent
+trajectories, chain-sharded NUTS (config 5, BASELINE.json:11)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgp_tpu.data import datasets
+from rgp_tpu.data.windows import Standardizer
+from rgp_tpu.models import rgp
+from rgp_tpu.parallel import mesh as pmesh
+from rgp_tpu.sample import api
+from rgp_tpu import train
+
+
+def _trained_model(T=40, iters=50):
+    d = datasets.narendra(T=2 * T, seed=0)
+    sy, su = Standardizer.fit(d.y_train), Standardizer.fit(d.u_train)
+    Y = jnp.asarray(sy.transform(d.y_train), jnp.float64)
+    U = jnp.asarray(su.transform(d.u_train), jnp.float64)
+    Ut = jnp.asarray(su.transform(d.u_test), jnp.float64)
+    Yt = jnp.asarray(sy.transform(d.y_test), jnp.float64)
+    cfg = rgp.deep_rgp_config(wins=[0, 2], u_win=2, y_dim=1, u_dim=1, num_inducing=8)
+    params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
+    res = train.fit_adam(
+        lambda p: -rgp.elbo(cfg, p, Y, U, block=None), params, iters=iters,
+        learning_rate=1e-2,
+    )
+    return cfg, res.params, Y, U, Ut, Yt
+
+
+def test_sample_nuts_on_rgp():
+    cfg, params, Y, U, _, _ = _trained_model()
+    res = api.sample_nuts(
+        cfg, params, Y, U, jax.random.PRNGKey(0),
+        n_samples=40, n_warmup=120, n_chains=2, max_depth=5, step_size=0.02,
+    )
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert np.asarray(res.accept_prob).mean() > 0.4
+    # posterior should move: samples not all identical
+    assert np.asarray(res.samples).std(axis=(0, 1)).max() > 1e-3
+
+
+def test_sample_hmc_on_rgp():
+    cfg, params, Y, U, _, _ = _trained_model()
+    res = api.sample_hmc(
+        cfg, params, Y, U, jax.random.PRNGKey(0),
+        n_samples=30, n_warmup=10, step_size=0.005, n_leapfrog=5, n_chains=2,
+    )
+    assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_smc_on_rgp():
+    cfg, params, Y, U, Ut, Yt = _trained_model()
+    res = api.smc(
+        cfg, params, Y, U, Ut, Yt, jax.random.PRNGKey(0), n_particles=128
+    )
+    assert np.isfinite(float(res.log_marginal))
+    assert np.isfinite(np.asarray(res.particles)).all()
+    # a trained model should beat a white-noise log-likelihood per step badly?
+    # keep it structural: ESS history bounded by particle count
+    assert np.all(np.asarray(res.ess_history) <= 128 + 1e-6)
+
+
+def test_smc_on_rgp_sharded_matches():
+    cfg, params, Y, U, Ut, Yt = _trained_model()
+    key = jax.random.PRNGKey(3)
+    single = api.smc(cfg, params, Y, U, Ut, Yt, key, n_particles=64)
+    m = pmesh.make_mesh(particle=8)
+    sharded = api.smc(cfg, params, Y, U, Ut, Yt, key, n_particles=64, mesh=m)
+    np.testing.assert_allclose(
+        float(sharded.log_marginal), float(single.log_marginal), rtol=1e-7
+    )
+
+
+def test_nuts_sharded_chains():
+    """Chain-sharded NUTS over a Gaussian: moments match, shared step size."""
+    cov = np.array([[1.0, 0.5], [0.5, 1.2]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def U(z):
+        return 0.5 * z @ prec @ z
+
+    m = pmesh.make_mesh(chain=8)
+    res = api.nuts_sharded(
+        U, jnp.zeros(2), jax.random.PRNGKey(0), m, n_chains=8,
+        n_samples=500, n_warmup=300, max_depth=6,
+    )
+    s = np.asarray(res.samples).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.2)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.4)
+    # step size is shared (replicated scalar)
+    assert np.asarray(res.step_size).ndim == 0 or np.asarray(res.step_size).size == 1
