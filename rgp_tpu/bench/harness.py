@@ -1,0 +1,151 @@
+"""Benchmark harness: task x method registries + free-simulation evaluation.
+
+Rebuilds the reference's benchmark subpackage (SURVEY.md S2.1 "Benchmark
+harness" [L]: task / method / evaluation / output registries over the DaISy
+system-identification sets): every method trains on the task's train split and
+is scored by closed-loop free-simulation RMSE on the held-out split in the
+ORIGINAL data scale (BASELINE.md protocol; SURVEY.md S3.3).
+
+Usage:
+    python -m rgp_tpu.bench --task actuator --method rgp1 --iters 2000
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import train
+from ..data import datasets
+from ..data.windows import Standardizer
+from ..kernels import RBF
+from ..models import gp_narx, rgp
+
+__all__ = ["TASKS", "METHODS", "run", "main"]
+
+TASKS: Dict[str, Callable] = {
+    "actuator": datasets.actuator,
+    "drives": datasets.drives,
+    "narendra": datasets.narendra,
+    "long_corpus": datasets.long_corpus,
+}
+
+
+@dataclasses.dataclass
+class _Prepared:
+    Y: jnp.ndarray
+    U: jnp.ndarray
+    U_test: jnp.ndarray
+    y_test_raw: np.ndarray
+    sy: Standardizer
+
+
+def _prepare(task: str, dtype=jnp.float32, **task_kw) -> _Prepared:
+    d = TASKS[task](**task_kw)
+    sy, su = Standardizer.fit(d.y_train), Standardizer.fit(d.u_train)
+    return _Prepared(
+        Y=jnp.asarray(sy.transform(d.y_train), dtype),
+        U=jnp.asarray(su.transform(d.u_train), dtype),
+        U_test=jnp.asarray(su.transform(d.u_test), dtype),
+        y_test_raw=np.asarray(d.y_test),
+        sy=sy,
+    )
+
+
+# ------------------------------------------------------------------ methods
+
+
+def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int):
+    cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=15), num_inducing=M, y_win=10, u_win=5)
+    params = gp_narx.init_params(cfg, prep.Y, prep.U, noise=0.1, seed=seed)
+    res = train.fit_adam(
+        lambda p: -gp_narx.elbo(cfg, p, prep.Y, prep.U), params,
+        iters=iters, learning_rate=lr,
+    )
+    m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test, y_init=prep.Y[-10:])
+    return res, m, v
+
+
+def _method_rgp(prep, iters, lr, seed, M, wins, back_cstr=False, mlp=()):
+    cfg = rgp.deep_rgp_config(
+        wins=wins, u_win=10, y_dim=prep.Y.shape[1], u_dim=prep.U.shape[1],
+        num_inducing=M, back_cstr=back_cstr, mlp_hidden=mlp,
+    )
+    params = rgp.init_params(cfg, prep.Y, prep.U, seed=seed)
+    res = train.fit_adam(
+        lambda p: -rgp.elbo(cfg, p, prep.Y, prep.U), params,
+        iters=iters, learning_rate=lr,
+    )
+    m, v = rgp.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test)
+    return res, m, v
+
+
+METHODS: Dict[str, Callable] = {
+    "gp_narx": lambda prep, iters, lr, seed, M: _method_gp_narx(prep, iters, lr, seed, M),
+    "rgp1": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 10]),
+    "rgp2": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 6, 6]),
+    "rgp2_mlp": lambda prep, iters, lr, seed, M: _method_rgp(
+        prep, iters, lr, seed, M, [0, 6, 6], back_cstr=True, mlp=(32,)
+    ),
+}
+
+
+def run(
+    task: str,
+    method: str,
+    *,
+    iters: int = 2000,
+    lr: float = 5e-3,
+    seed: int = 0,
+    num_inducing: int = 100,
+    dtype=jnp.float32,
+) -> dict:
+    prep = _prepare(task, dtype=dtype)
+    t0 = time.perf_counter()
+    res, means, vars_ = METHODS[method](prep, iters, lr, seed, num_inducing)
+    jax.block_until_ready(means)
+    wall = time.perf_counter() - t0
+    m_raw = prep.sy.inverse(np.asarray(means))
+    rmse = float(np.sqrt(np.mean((m_raw - prep.y_test_raw) ** 2)))
+    zero = float(np.sqrt(np.mean(prep.y_test_raw**2)))
+    losses = np.asarray(res.losses)
+    return {
+        "task": task,
+        "method": method,
+        "iters": iters,
+        "freerun_rmse": round(rmse, 5),
+        "zero_predictor_rmse": round(zero, 5),
+        "elbo_first": round(float(-losses[0]), 2),
+        "elbo_last": round(float(-losses[-1]), 2),
+        "wall_seconds": round(wall, 2),
+        "iters_per_sec": round(iters / wall, 2),
+        "backend": jax.default_backend(),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--task", default="actuator", choices=sorted(TASKS))
+    ap.add_argument("--method", default="rgp1", choices=sorted(METHODS))
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num-inducing", type=int, default=100)
+    args = ap.parse_args(argv)
+    out = run(
+        args.task, args.method, iters=args.iters, lr=args.lr, seed=args.seed,
+        num_inducing=args.num_inducing,
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

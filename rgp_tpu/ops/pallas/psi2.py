@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused RBF Psi2 accumulation.
+
+The N4 component (SURVEY.md S2.3): the reference offloads Psi2 to CUDA
+(`GPy:GPy/kern/src/psi_comp/` GPU variants); the TPU-native equivalent tiles
+the (T, M, M) Psi2 computation over a (M-tiles, M-tiles, T-tiles) grid,
+computes the per-tile inner term with ONE MXU matmul (the q-contraction
+C[t,m,n] = sum_q w_tq z_mq z_nq reshaped to (BT*BM, Q) @ (Q, BN)), applies the
+exponential on the VPU, and accumulates sum_t in an f32 VMEM scratch without
+ever materializing the (T, M, M) intermediate in HBM (SURVEY.md S7 hard-part
+2: "compute as summed einsum / Pallas, never materialized").
+
+Decomposition (Appendix A.2): with w = 1/(l^2 + 2s),
+
+  log Psi2[t,m,n] = base[t] - D1[m,n] + E[t,m] + E[t,n] - 1/2 C[t,m,n]
+  base[t] = 2 log sf^2 - 1/2 sum_q log1p(2 s/l^2) - sum_q w mu^2
+  D1[m,n] = sum_q (z_m - z_n)^2 / (4 l^2)
+  E[t,m]  = A[t,m] - B[t,m]/4,  A = (w mu) Z^T,  B = w (Z^2)^T
+
+base/E/D1 are cheap O(TM) precomputations left to XLA (fused into neighbors);
+the kernel owns the O(T M^2 Q) contraction + exp + reduction.
+
+Gradients: ``rbf_psi2_sum`` carries a custom VJP whose backward contracts the
+recomputed per-tile probabilities against the cotangent using the same
+chunked-jnp path as the reference implementation (XLA-fused); a fully-Pallas
+backward is a future optimization.
+
+MEASUREMENT (P6 discipline — "only keep kernels that beat XLA"): on TPU v5e,
+T=2048 M=256 Q=24 f32: XLA chunked einsum 2.7 ms vs this kernel 2.7 ms at
+HIGHEST matmul precision (2.2 ms at DEFAULT bf16 precision, but the 2e-3
+relative error is unacceptable for bound stability — see the f32 Psi2
+indefiniteness analysis in inference/collapsed_vi.py). Both implementations
+sit near the VPU-exp roofline for this op shape, so the kernel is kept as an
+optional, tested path (not wired as the default) and the fusion headroom is
+documented for the gather-fused variant.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ...params import positive
+
+__all__ = ["rbf_psi2_sum_pallas", "rbf_psi2_precompute"]
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl, pltpu
+
+
+def rbf_psi2_precompute(p, Z, mu, s):
+    """XLA-side precomputation of (base (T,), E (T,M), D1 (M,M), w (T,Q))."""
+    var = positive(p["log_var"])
+    ls = positive(p["log_ls"])
+    l2 = ls * ls
+    w = 1.0 / (l2 + 2.0 * s)
+    base = (
+        2.0 * jnp.log(var)
+        - 0.5 * jnp.sum(jnp.log1p(2.0 * s / l2), axis=-1)
+        - jnp.sum(w * mu * mu, axis=-1)
+    )
+    Zs = Z / (2.0 * ls)
+    zz = jnp.sum(Zs * Zs, axis=-1)
+    D1 = zz[:, None] + zz[None, :] - 2.0 * jnp.matmul(Zs, Zs.T, precision=lax.Precision.HIGHEST)
+    A = jnp.matmul(w * mu, Z.T, precision=lax.Precision.HIGHEST)
+    B = jnp.matmul(w, (Z * Z).T, precision=lax.Precision.HIGHEST)
+    E = A - 0.25 * B
+    return base, E, D1, w
+
+
+def _psi2_kernel(base_ref, e_m_ref, e_n_ref, d1_ref, w_ref, zm_ref, zn_ref, out_ref):
+    pl, pltpu = _pl()
+    t_idx = pl.program_id(2)
+
+    @pl.when(t_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    base = base_ref[:]  # (BT, 1)
+    w = w_ref[:]  # (BT, Q)
+    zm = zm_ref[:]  # (BM, Q)
+    zn = zn_ref[:]  # (BN, Q)
+    BT, Q = w.shape
+    BM = zm.shape[0]
+    BN = zn.shape[0]
+
+    # C[t,m,n] = sum_q w[t,q] zm[m,q] zn[n,q] as one MXU matmul
+    wzm = w[:, None, :] * zm[None, :, :]  # (BT, BM, Q)
+    C = jax.lax.dot_general(
+        wzm.reshape(BT * BM, Q),
+        zn,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(BT, BM, BN)
+
+    logp = (
+        base[:, :, None]
+        - d1_ref[:][None, :, :]
+        + e_m_ref[:][:, :, None]
+        + e_n_ref[:][:, None, :]
+        - 0.5 * C
+    )
+    out_ref[:] += jnp.sum(jnp.exp(logp), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "bm", "interpret"))
+def _psi2_pallas_raw(base, E, D1, w, Z, *, bt: int = 8, bm: int = 128, interpret: bool = False):
+    pl, pltpu = _pl()
+    T, Q = w.shape
+    M = Z.shape[0]
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    # pad T and M to tile multiples
+    Tp = cdiv(T, bt) * bt
+    Mp = cdiv(M, bm) * bm
+    if Tp != T:
+        pad = Tp - T
+        # padded timesteps get base = -inf -> exp contributes exactly 0
+        base = jnp.concatenate([base, jnp.full((pad,), -jnp.inf, base.dtype)])
+        E = jnp.concatenate([E, jnp.zeros((pad, M), E.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((pad, Q), w.dtype)])
+    if Mp != M:
+        padm = Mp - M
+        E = jnp.concatenate([E, jnp.zeros((Tp, padm), E.dtype)], axis=1)
+        D1 = jnp.pad(D1, ((0, padm), (0, padm)))
+        Z = jnp.concatenate([Z, jnp.zeros((padm, Q), Z.dtype)], axis=0)
+
+    grid = (Mp // bm, Mp // bm, Tp // bt)
+    vmem = pltpu.VMEM
+    out = pl.pallas_call(
+        _psi2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda j, k, t: (t, 0), memory_space=vmem),  # base
+            pl.BlockSpec((bt, bm), lambda j, k, t: (t, j), memory_space=vmem),  # E (m)
+            pl.BlockSpec((bt, bm), lambda j, k, t: (t, k), memory_space=vmem),  # E (n)
+            pl.BlockSpec((bm, bm), lambda j, k, t: (j, k), memory_space=vmem),  # D1
+            pl.BlockSpec((bt, Q), lambda j, k, t: (t, 0), memory_space=vmem),  # w
+            pl.BlockSpec((bm, Q), lambda j, k, t: (j, 0), memory_space=vmem),  # Z (m)
+            pl.BlockSpec((bm, Q), lambda j, k, t: (k, 0), memory_space=vmem),  # Z (n)
+        ],
+        out_specs=pl.BlockSpec((bm, bm), lambda j, k, t: (j, k), memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((Mp, Mp), jnp.float32),
+        interpret=interpret,
+    )(base[:, None], E, E, D1, w, Z, Z)
+    return out[:M, :M]
+
+
+def _reference_psi2(p, Z, mu, s, block=128):
+    from ..psi_stats import _psi2_sum
+    from ...kernels import RBF
+
+    kern = RBF(input_dim=Z.shape[1])
+    return _psi2_sum(kern, p, Z, mu, s, block=block)
+
+
+@jax.custom_vjp
+def rbf_psi2_sum_pallas(p, Z, mu, s):
+    """sum_t Psi2_t for the RBF kernel via the fused Pallas kernel (f32).
+
+    Drop-in replacement for the XLA chunked path; differentiable (backward
+    uses the XLA path's VJP).
+    """
+    base, E, D1, w = rbf_psi2_precompute(p, Z, mu, s)
+    return _psi2_pallas_raw(
+        base.astype(jnp.float32),
+        E.astype(jnp.float32),
+        D1.astype(jnp.float32),
+        w.astype(jnp.float32),
+        Z.astype(jnp.float32),
+    ).astype(mu.dtype)
+
+
+def _fwd(p, Z, mu, s):
+    out = rbf_psi2_sum_pallas(p, Z, mu, s)
+    return out, (p, Z, mu, s)
+
+
+def _bwd(res, g):
+    p, Z, mu, s = res
+    _, vjp = jax.vjp(lambda p_, Z_, mu_, s_: _reference_psi2(p_, Z_, mu_, s_), p, Z, mu, s)
+    return vjp(g)
+
+
+rbf_psi2_sum_pallas.defvjp(_fwd, _bwd)
