@@ -18,8 +18,8 @@ from rgp_tpu.data.windows import Standardizer
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=3000)
-    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--num-inducing", type=int, default=100)
     args = ap.parse_args()
 
@@ -32,8 +32,12 @@ def main():
     cfg = rgp.DeepRGP(wins=[0, 10], u_win=10, y_dim=1, u_dim=1,
                       num_inducing=args.num_inducing)
     params = rgp.init(cfg, Y, U)
-    res = rgp.fit(lambda p: -rgp.elbo(cfg, p, Y, U), params,
-                  iters=args.iters, learning_rate=args.lr)
+    import optax
+
+    res = rgp.fit(
+        lambda p: -rgp.elbo(cfg, p, Y, U), params, iters=args.iters,
+        optimizer=optax.adam(optax.cosine_decay_schedule(args.lr, args.iters, 0.01)),
+    )
 
     means, vars_ = rgp.freerun(cfg, res.params, Y, U, Ut)
     m = sy.inverse(np.asarray(means))

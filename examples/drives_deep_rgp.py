@@ -17,8 +17,8 @@ from rgp_tpu.data.windows import Standardizer
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=3000)
-    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--num-inducing", type=int, default=60)
     ap.add_argument("--back-cstr", action="store_true")
     args = ap.parse_args()
@@ -35,8 +35,12 @@ def main():
         back_cstr=args.back_cstr, mlp_hidden=(32,) if args.back_cstr else (),
     )
     params = rgp.init(cfg, Y, U)
-    res = rgp.fit(lambda p: -rgp.elbo(cfg, p, Y, U), params,
-                  iters=args.iters, learning_rate=args.lr)
+    import optax
+
+    res = rgp.fit(
+        lambda p: -rgp.elbo(cfg, p, Y, U), params, iters=args.iters,
+        optimizer=optax.adam(optax.cosine_decay_schedule(args.lr, args.iters, 0.01)),
+    )
 
     means, _ = rgp.freerun(cfg, res.params, Y, U, Ut)
     m = sy.inverse(np.asarray(means))

@@ -64,9 +64,11 @@ def _prepare(task: str, dtype=jnp.float32, **task_kw) -> _Prepared:
 def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int):
     cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=15), num_inducing=M, y_win=10, u_win=5)
     params = gp_narx.init_params(cfg, prep.Y, prep.U, noise=0.1, seed=seed)
+    import optax
+
     res = train.fit_adam(
         lambda p: -gp_narx.elbo(cfg, p, prep.Y, prep.U), params,
-        iters=iters, learning_rate=lr,
+        iters=iters, optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
     )
     m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test, y_init=prep.Y[-10:])
     return res, m, v
@@ -78,9 +80,11 @@ def _method_rgp(prep, iters, lr, seed, M, wins, back_cstr=False, mlp=()):
         num_inducing=M, back_cstr=back_cstr, mlp_hidden=mlp,
     )
     params = rgp.init_params(cfg, prep.Y, prep.U, seed=seed)
+    import optax
+
     res = train.fit_adam(
         lambda p: -rgp.elbo(cfg, p, prep.Y, prep.U), params,
-        iters=iters, learning_rate=lr,
+        iters=iters, optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
     )
     m, v = rgp.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test)
     return res, m, v
@@ -100,8 +104,8 @@ def run(
     task: str,
     method: str,
     *,
-    iters: int = 2000,
-    lr: float = 5e-3,
+    iters: int = 10000,
+    lr: float = 1e-2,
     seed: int = 0,
     num_inducing: int = 100,
     dtype=jnp.float32,
@@ -135,8 +139,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--task", default="actuator", choices=sorted(TASKS))
     ap.add_argument("--method", default="rgp1", choices=sorted(METHODS))
-    ap.add_argument("--iters", type=int, default=2000)
-    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-inducing", type=int, default=100)
     args = ap.parse_args(argv)

@@ -18,7 +18,33 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["lagged", "current_window", "narx_design", "Standardizer"]
+__all__ = ["lagged", "current_window", "narx_design", "Standardizer",
+           "np_lagged", "np_current_window"]
+
+
+def _np_stack_lags(X, lags):
+    """Host-side numpy twin of ``_stack_lags`` for init-time use (avoids
+    device round-trips — costly under remote-compile TPU backends)."""
+    X = np.asarray(X)
+    T = X.shape[0]
+    cols = []
+    for k in lags:
+        if k == 0:
+            cols.append(X)
+        else:
+            pad = np.zeros((k,) + X.shape[1:], dtype=X.dtype)
+            cols.append(np.concatenate([pad, X[: T - k]], axis=0))
+    return np.concatenate(cols, axis=-1)
+
+
+def np_lagged(X, L: int):
+    """numpy twin of :func:`lagged` (host-side, for initialization code)."""
+    return _np_stack_lags(X, list(range(1, L + 1)))
+
+
+def np_current_window(X, L: int):
+    """numpy twin of :func:`current_window`."""
+    return _np_stack_lags(X, list(range(0, L)))
 
 
 def _stack_lags(X, lags):

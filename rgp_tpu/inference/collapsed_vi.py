@@ -48,7 +48,7 @@ from ..params import positive
 
 __all__ = ["collapsed_bound", "SparsePosterior", "posterior", "predict_uncertain"]
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
 
 
 def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float]):

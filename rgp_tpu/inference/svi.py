@@ -35,11 +35,13 @@ import jax.numpy as jnp
 from ..kernels import Kernel
 from ..linalg import cho_solve, default_jitter, hdot, jitchol, log_det_from_chol, solve_triangular
 from ..ops.psi_stats import PsiStats, psi_statistics
-from ..params import positive, positive_inv
+import numpy as np
+
+from ..params import np_positive_inv, positive
 
 __all__ = ["init_qu", "qu_moments", "svi_bound", "svi_predict"]
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
 
 
 def init_qu(M: int, D: int, *, init_scale: float = 0.1, dtype=jnp.float32):
@@ -48,9 +50,10 @@ def init_qu(M: int, D: int, *, init_scale: float = 0.1, dtype=jnp.float32):
     ``log_diag`` stores the unconstrained diagonal; ``tril`` the strict lower
     triangle (D, M, M) (upper part ignored).
     """
+    raw = np.log(np.expm1(init_scale))
     return {
         "m": jnp.zeros((M, D), dtype),
-        "log_diag": jnp.broadcast_to(positive_inv(jnp.asarray(init_scale, dtype)), (D, M)).copy(),
+        "log_diag": jnp.asarray(np.full((D, M), raw), dtype),
         "tril": jnp.zeros((D, M, M), dtype),
     }
 

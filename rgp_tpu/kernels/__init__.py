@@ -25,9 +25,11 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..linalg import hdot
-from ..params import positive, positive_inv
+import numpy as np
 
-__all__ = ["Kernel", "RBF", "Linear", "White", "Bias", "Sum", "kern_slice"]
+from ..params import np_positive_inv, positive
+
+__all__ = ["Kernel", "RBF", "Linear", "White", "Bias", "Sum", "Prod", "kern_slice"]
 
 
 def kern_slice(kern: "Kernel", X):
@@ -67,10 +69,10 @@ class RBF(Kernel):
 
     def init(self, variance: float = 1.0, lengthscale=1.0, dtype=jnp.float32):
         nls = self.input_dim if self.ard else 1
-        ls = jnp.broadcast_to(jnp.asarray(lengthscale, dtype), (nls,))
+        ls = np.broadcast_to(np.asarray(lengthscale, np.float64), (nls,))
         return {
-            "log_var": positive_inv(jnp.asarray(variance, dtype)),
-            "log_ls": positive_inv(ls),
+            "log_var": np_positive_inv(variance, dtype),
+            "log_ls": np_positive_inv(ls, dtype),
         }
 
     def _scaled(self, p, X):
@@ -105,8 +107,8 @@ class Linear(Kernel):
 
     def init(self, variance: float = 1.0, dtype=jnp.float32):
         nv = self.input_dim if self.ard else 1
-        v = jnp.broadcast_to(jnp.asarray(variance, dtype), (nv,))
-        return {"log_var": positive_inv(v)}
+        v = np.broadcast_to(np.asarray(variance, np.float64), (nv,))
+        return {"log_var": np_positive_inv(v, dtype)}
 
     def K(self, p, X, X2=None):
         v = positive(p["log_var"])
@@ -125,7 +127,7 @@ class White(Kernel):
     """White noise: k = s^2 I on matching inputs (`GPy:.../white.py` [H])."""
 
     def init(self, variance: float = 1.0, dtype=jnp.float32):
-        return {"log_var": positive_inv(jnp.asarray(variance, dtype))}
+        return {"log_var": np_positive_inv(variance, dtype)}
 
     def K(self, p, X, X2=None):
         var = positive(p["log_var"])
@@ -144,7 +146,7 @@ class Bias(Kernel):
     """Constant kernel k = s^2 (`GPy:.../bias.py` [H])."""
 
     def init(self, variance: float = 1.0, dtype=jnp.float32):
-        return {"log_var": positive_inv(jnp.asarray(variance, dtype))}
+        return {"log_var": np_positive_inv(variance, dtype)}
 
     def K(self, p, X, X2=None):
         var = positive(p["log_var"])
@@ -154,6 +156,35 @@ class Bias(Kernel):
     def Kdiag(self, p, X):
         var = positive(p["log_var"])
         return jnp.broadcast_to(var, X.shape[:-1])
+
+
+@dataclasses.dataclass(frozen=True)
+class Prod(Kernel):
+    """Multiplicative combination (`GPy:GPy/kern/src/prod.py` [H]).
+
+    K/Kdiag only — psi-statistics of products are not closed-form in general
+    (same restriction as the reference; typically used with disjoint
+    active_dims, where the product of RBFs is again an RBF).
+    """
+
+    parts: Tuple[Kernel, ...] = ()
+
+    def init(self, *part_kwargs, dtype=jnp.float32):
+        if not part_kwargs:
+            part_kwargs = tuple({} for _ in self.parts)
+        return tuple(k.init(dtype=dtype, **kw) for k, kw in zip(self.parts, part_kwargs))
+
+    def K(self, p, X, X2=None):
+        out = self.parts[0].K(p[0], X, X2)
+        for k, pk in zip(self.parts[1:], p[1:]):
+            out = out * k.K(pk, X, X2)
+        return out
+
+    def Kdiag(self, p, X):
+        out = self.parts[0].Kdiag(p[0], X)
+        for k, pk in zip(self.parts[1:], p[1:]):
+            out = out * k.Kdiag(pk, X)
+        return out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,11 +17,11 @@ import jax.numpy as jnp
 
 from ..kernels import Kernel
 from ..linalg import cho_solve, hdot, jitchol, log_det_from_chol, solve_triangular
-from ..params import positive, positive_inv
+from ..params import np_positive_inv, positive
 
 __all__ = ["GPConfig", "init_params", "log_marginal", "predict"]
 
-_LOG2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,7 +32,7 @@ class GPConfig:
 def init_params(cfg: GPConfig, noise: float = 1.0, dtype=jnp.float32, **kern_kw):
     return {
         "kern": cfg.kernel.init(dtype=dtype, **kern_kw),
-        "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+        "log_noise": np_positive_inv(noise, dtype),
     }
 
 

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.windows import current_window, lagged
+from ..data.windows import current_window, lagged, np_current_window, np_lagged
 from ..inference.collapsed_vi import (
     collapsed_bound,
     posterior,
@@ -46,7 +46,7 @@ from ..inference.collapsed_vi import (
 )
 from ..kernels import RBF, Kernel
 from ..ops.psi_stats import psi_statistics
-from ..params import positive, positive_inv
+from ..params import np_positive_inv, positive
 from .encoder import init_mlp, mlp_apply
 from .sparse_gp import kmeans_init
 
@@ -169,12 +169,13 @@ def init_params(
         # separately from the T per-timestep latents so the time axis of the
         # variational state is exactly shardable over the 'data' mesh axis
 
-        # windowed input means for Z init
-        own = np.asarray(lagged(jnp.asarray(mu_full), L))[L:]
+        # windowed input means for Z init (host-side numpy: init code must not
+        # touch the device — each un-jitted op is a remote-compile round trip)
+        own = np_lagged(mu_full, L)[L:]
         if h == 0:
-            low = np.asarray(current_window(jnp.asarray(U), cfg.u_win))
+            low = np_current_window(U, cfg.u_win)
         else:
-            low = np.asarray(current_window(jnp.asarray(mu_prev_full[cfg.layers[h - 1].win:]), L))
+            low = np_current_window(mu_prev_full[cfg.layers[h - 1].win:], L)
         Xw = np.concatenate([own, low], axis=-1)
         Z = kmeans_init(Xw, spec.num_inducing, seed=seed + h)
 
@@ -182,23 +183,23 @@ def init_params(
             {
                 "kern": spec.kernel.init(dtype=dtype),
                 "Z": jnp.asarray(Z, dtype),
-                "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+                "log_noise": np_positive_inv(noise, dtype),
                 "mu0": jnp.asarray(mu_full[:L], dtype),
-                "log_lam0": jnp.log(jnp.asarray(lam_full[:L], dtype)),
+                "log_lam0": jnp.asarray(np.log(lam_full[:L]), dtype),
                 "mu": jnp.asarray(mu_full[L:], dtype),
-                "log_lam": jnp.log(jnp.asarray(lam_full[L:], dtype)),
+                "log_lam": jnp.asarray(np.log(lam_full[L:]), dtype),
             }
         )
         mu_prev_full = mu_full
 
     # output layer: inputs = window of top latents
     top = mu_prev_full[cfg.layers[-1].win:]
-    Xout = np.asarray(current_window(jnp.asarray(top), cfg.out_win))
+    Xout = np_current_window(top, cfg.out_win)
     Zout = kmeans_init(Xout, cfg.out_num_inducing, seed=seed + 1000)
     out = {
         "kern": cfg.out_kernel.init(dtype=dtype),
         "Z": jnp.asarray(Zout, dtype),
-        "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+        "log_noise": np_positive_inv(noise, dtype),
     }
 
     params = {"layers": tuple(layers), "out": out}
@@ -333,6 +334,20 @@ def _posteriors(cfg: RGPConfig, params, Y, U, *, block=None):
     stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
     posts.append(posterior(cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y))
     return posts, (mu_lower_t, lam_lower_t)
+
+
+def predict_train(cfg: RGPConfig, params, Y, U, *, include_noise: bool = True):
+    """One-step-ahead (teacher-forced) prediction over the training span
+    (reference ``m.predict`` semantics [M]): the output GP evaluated at the
+    trained variational latent windows. Returns (mean (T, Dy), var (T, Dy))."""
+    posts, (mu_top, lam_top) = _posteriors(cfg, params, Y, U)
+    op = params["out"]
+    Xo_mu = current_window(mu_top, cfg.out_win)
+    Xo_s = current_window(lam_top, cfg.out_win)
+    return predict_uncertain(
+        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], posts[-1],
+        Xo_mu, Xo_s, include_noise=include_noise,
+    )
 
 
 def freerun(

@@ -21,7 +21,7 @@ from ..inference.collapsed_vi import (
 )
 from ..kernels import Kernel
 from ..ops.psi_stats import psi_statistics
-from ..params import positive_inv
+from ..params import np_positive_inv
 
 __all__ = ["SparseGPConfig", "init_params", "elbo", "predict"]
 
@@ -68,7 +68,7 @@ def init_params(
     return {
         "kern": cfg.kernel.init(dtype=dtype, **kern_kw),
         "Z": jnp.asarray(Z, dtype),
-        "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+        "log_noise": np_positive_inv(noise, dtype),
     }
 
 

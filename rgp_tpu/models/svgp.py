@@ -18,7 +18,7 @@ import numpy as np
 from ..inference import svi
 from ..kernels import Kernel
 from ..ops.psi_stats import psi_statistics
-from ..params import positive_inv
+from ..params import np_positive_inv
 from .sparse_gp import kmeans_init
 
 __all__ = ["SVGPConfig", "init_params", "elbo", "predict"]
@@ -43,7 +43,7 @@ def init_params(
     return {
         "kern": cfg.kernel.init(dtype=dtype, **kern_kw),
         "Z": jnp.asarray(Z, dtype),
-        "log_noise": positive_inv(jnp.asarray(noise, dtype)),
+        "log_noise": np_positive_inv(noise, dtype),
         "qu": svi.init_qu(cfg.num_inducing, cfg.output_dim, dtype=dtype),
     }
 

@@ -22,6 +22,7 @@ from jax.flatten_util import ravel_pytree
 __all__ = [
     "softplus",
     "softplus_inv",
+    "np_positive_inv",
     "positive",
     "positive_inv",
     "ravel",
@@ -38,6 +39,17 @@ def softplus_inv(y):
     """Inverse of :func:`softplus`: x = y + log(1 - e^{-y}), stable for y>0."""
     y = jnp.asarray(y)
     return y + jnp.log(-jnp.expm1(-y))
+
+
+def np_positive_inv(y, dtype):
+    """Host-side (numpy) softplus inverse for initialization code: avoids
+    per-op device round trips, which are very costly under remote-compile
+    TPU backends. Returns a committed jax array of ``dtype``."""
+    import numpy as _np
+
+    y = _np.asarray(y, _np.float64)
+    x = y + _np.log(-_np.expm1(-y))
+    return jnp.asarray(x, dtype)
 
 
 # Aliases that read well at call sites: raw (unconstrained) -> constrained.

@@ -140,8 +140,8 @@ def smc_filter_sharded(
         dtype = jnp.result_type(parts_full0)
         # mark the carry as varying over the particle axis up front, or the
         # scan carry types disagree after the first collective
-        log_w0 = jax.lax.pvary(jnp.zeros(shard, dtype), (axis,))
-        log_Z0 = jax.lax.pvary(jnp.asarray(0.0, dtype), (axis,))
+        log_w0 = jax.lax.pcast(jnp.zeros(shard, dtype), axis, to="varying")
+        log_Z0 = jax.lax.pcast(jnp.asarray(0.0, dtype), axis, to="varying")
 
         def step(carry, inp):
             parts, log_w, log_Z = carry

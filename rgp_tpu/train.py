@@ -23,7 +23,7 @@ import optax
 
 from .params import ravel
 
-__all__ = ["fit_adam", "fit_scipy_lbfgs", "FitResult"]
+__all__ = ["fit_adam", "fit_minibatch", "fit_scipy_lbfgs", "FitResult"]
 
 
 class FitResult(NamedTuple):
@@ -59,6 +59,72 @@ def fit_adam(
     if jit:
         run = jax.jit(run)
     p, losses = run(params)
+    return FitResult(params=p, losses=losses)
+
+
+def fit_minibatch(
+    loss_fn: Callable,
+    params,
+    data,
+    *,
+    iters: int,
+    batch_size: int,
+    key,
+    learning_rate: float = 1e-2,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    natgrad_block: Optional[str] = None,
+    natgrad_lr: float = 0.1,
+    natgrad_loss: Optional[Callable] = None,
+    jit: bool = True,
+) -> FitResult:
+    """Stochastic minibatch training (reference S3.4: climin Adam / SVI loop).
+
+    ``loss_fn(params, batch) -> scalar`` where ``batch`` is a pytree of arrays
+    gathered from ``data`` (leading axis = time/datapoints) at ``batch_size``
+    random indices per step. The whole loop — including index sampling — runs
+    inside one ``lax.scan`` under jit.
+
+    ``natgrad_block``: optional name of a params sub-key (e.g. ``'qu'``)
+    updated by a natural-gradient step (SURVEY.md A.5, config 4) interleaved
+    with each Adam step on the remaining parameters; the Adam step sees the
+    block's gradient zeroed. ``natgrad_loss(params, batch) -> scalar`` defaults
+    to ``loss_fn``'s negation (ELBO ascent).
+    """
+    from .inference.natgrad import natgrad_step
+
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    n_total = jax.tree.leaves(data)[0].shape[0]
+    ng_loss = natgrad_loss if natgrad_loss is not None else (lambda p, b: -loss_fn(p, b))
+
+    def run(p0, key):
+        state0 = opt.init(p0)
+
+        def step(carry, k):
+            p, s = carry
+            idx = jax.random.randint(k, (batch_size,), 0, n_total)
+            batch = jax.tree.map(lambda a: a[idx], data)
+            loss, g = jax.value_and_grad(loss_fn)(p, batch)
+            if natgrad_block is not None:
+                # zero the block's Adam gradient; natural-gradient it instead
+                g = {**g, natgrad_block: jax.tree.map(jnp.zeros_like, g[natgrad_block])}
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            if natgrad_block is not None:
+                blk = natgrad_step(
+                    lambda q: ng_loss({**p, natgrad_block: q}, batch),
+                    p[natgrad_block],
+                    natgrad_lr,
+                )
+                p = {**p, natgrad_block: blk}
+            return (p, s), loss
+
+        keys = jax.random.split(key, iters)
+        (p, _), losses = jax.lax.scan(step, (p0, state0), keys)
+        return p, losses
+
+    if jit:
+        run = jax.jit(run)
+    p, losses = run(params, key)
     return FitResult(params=p, losses=losses)
 
 

@@ -29,7 +29,7 @@ def test_hmc_gaussian_moments():
     U = _gauss_potential(cov)
     res = hmc_sample(
         U, jnp.zeros(2), jax.random.PRNGKey(0),
-        n_samples=2000, n_warmup=200, step_size=0.4, n_leapfrog=12, n_chains=4,
+        n_samples=1200, n_warmup=150, step_size=0.4, n_leapfrog=12, n_chains=4,
     )
     s = np.asarray(res.samples).reshape(-1, 2)
     assert np.asarray(res.accept_prob).mean() > 0.6
@@ -42,7 +42,7 @@ def test_nuts_gaussian_moments():
     U = _gauss_potential(cov)
     res = nuts_sample(
         U, jnp.zeros(3), jax.random.PRNGKey(1),
-        n_samples=1500, n_warmup=500, n_chains=4, max_depth=7,
+        n_samples=800, n_warmup=400, n_chains=4, max_depth=7,
     )
     s = np.asarray(res.samples).reshape(-1, 3)
     assert not np.asarray(res.diverging).any()
@@ -57,7 +57,7 @@ def test_nuts_mass_adaptation_scales():
     U = _gauss_potential(np.diag(var))
     res = nuts_sample(
         U, jnp.zeros(2), jax.random.PRNGKey(2),
-        n_samples=800, n_warmup=800, n_chains=2, max_depth=8,
+        n_samples=500, n_warmup=600, n_chains=2, max_depth=8,
     )
     mi = np.asarray(res.mass_inv)
     # ratio of adapted scales should approximate the variance ratio within 10x
@@ -148,7 +148,7 @@ def test_smc_matches_kalman():
     x, y = _lgssm(T=40, a=a, q=q, r=r)
     exact = _kalman_loglik(y, a, q, r)
     tr, em, init = _make_lgssm_closures(y, a, q, r)
-    res = smc_mod.smc_filter(tr, em, init, 40, jax.random.PRNGKey(0), 4096)
+    res = smc_mod.smc_filter(tr, em, init, 40, jax.random.PRNGKey(0), 2048)
     est = float(res.log_marginal)
     assert abs(est - exact) < 0.5, (est, exact)
 

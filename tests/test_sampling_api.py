@@ -84,7 +84,7 @@ def test_nuts_sharded_chains():
     m = pmesh.make_mesh(chain=8)
     res = api.nuts_sharded(
         U, jnp.zeros(2), jax.random.PRNGKey(0), m, n_chains=8,
-        n_samples=500, n_warmup=300, max_depth=6,
+        n_samples=400, n_warmup=250, max_depth=6,
     )
     s = np.asarray(res.samples).reshape(-1, 2)
     np.testing.assert_allclose(s.mean(0), 0.0, atol=0.2)
