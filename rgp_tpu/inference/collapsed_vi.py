@@ -27,7 +27,6 @@ and alpha = beta W Psi1^T Y,
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp

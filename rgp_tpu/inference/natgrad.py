@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..linalg import cho_solve, jitchol
-from ..params import positive, positive_inv
+from ..params import positive_inv
 from .svi import qu_moments
 
 __all__ = ["natgrad_step"]

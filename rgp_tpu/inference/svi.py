@@ -27,17 +27,17 @@ triangular with softplus-positive diagonal (stored unconstrained).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..kernels import Kernel
-from ..linalg import cho_solve, default_jitter, hdot, jitchol, log_det_from_chol, solve_triangular
+from ..linalg import cho_solve, default_jitter, hdot, jitchol, log_det_from_chol
 from ..ops.psi_stats import PsiStats, psi_statistics
 import numpy as np
 
-from ..params import np_positive_inv, positive
+from ..params import positive
 
 __all__ = ["init_qu", "qu_moments", "svi_bound", "svi_predict"]
 

@@ -10,7 +10,7 @@ mu^h_t. Here it is an explicit-pytree tanh MLP whose backward pass is autodiff
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,11 +11,9 @@ is the same uncertain-input machinery the full RGP freerun uses (SURVEY.md S3.3)
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.windows import narx_design
 from ..inference.collapsed_vi import posterior, predict_uncertain

@@ -46,7 +46,7 @@ from ..inference.collapsed_vi import (
 )
 from ..kernels import RBF, Kernel
 from ..ops.psi_stats import psi_statistics
-from ..params import np_positive_inv, positive
+from ..params import np_positive_inv
 from .encoder import init_mlp, mlp_apply
 from .sparse_gp import kmeans_init
 

@@ -12,14 +12,13 @@ y_t. Uses the same trained posteriors as ``freerun``.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..data.windows import current_window
 from ..inference.collapsed_vi import predict_uncertain
-from ..params import positive
 from . import rgp
 
 __all__ = ["make_ssm", "SSM"]

@@ -13,7 +13,6 @@ import dataclasses
 from typing import Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..inference import svi
 from ..kernels import Kernel

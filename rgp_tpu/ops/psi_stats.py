@@ -23,10 +23,8 @@ how the plain sparse-GP / GP-NARX path reuses this module.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -20,7 +20,6 @@ device so adaptation is globally shared (BASELINE.json:5,11).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

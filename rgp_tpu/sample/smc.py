@@ -17,7 +17,6 @@ single-device runs produce IDENTICAL trajectories given the same key
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_step"]
 

@@ -4,7 +4,6 @@ inner loops (SURVEY.md S2.3)."""
 
 import importlib.util
 import os
-import sys
 
 import jax
 import jax.numpy as jnp

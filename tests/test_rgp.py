@@ -1,9 +1,7 @@
 """Deep RGP (REVARB) model tests: ELBO validity, checkgrad, training, freerun."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from rgp_tpu.data import datasets
 from rgp_tpu.data.windows import Standardizer

@@ -4,7 +4,6 @@ SMC vs exact Kalman filter, sharded == single-device (SURVEY.md S4 items 5-6).""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from rgp_tpu.parallel import mesh as pmesh
 from rgp_tpu.sample import smc as smc_mod

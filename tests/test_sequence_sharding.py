@@ -1,0 +1,49 @@
+"""Explicit halo-exchange sequence-sharded REVARB ELBO == single-device
+(SURVEY.md S2.4 SP/CP analog; complements the GSPMD test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgp_tpu.data import datasets
+from rgp_tpu.data.windows import Standardizer
+from rgp_tpu.models import rgp
+from rgp_tpu.parallel import mesh as pmesh
+from rgp_tpu.parallel.sequence import sequence_sharded_rgp_elbo
+
+
+def _setup(H=1, back_cstr=False, T=64):
+    d = datasets.narendra(T=2 * T, seed=0)
+    sy, su = Standardizer.fit(d.y_train), Standardizer.fit(d.u_train)
+    Y = jnp.asarray(sy.transform(d.y_train), jnp.float64)
+    U = jnp.asarray(su.transform(d.u_train), jnp.float64)
+    cfg = rgp.deep_rgp_config(
+        wins=[0] + [3] * H, u_win=2, y_dim=1, u_dim=1, num_inducing=8,
+        back_cstr=back_cstr, mlp_hidden=(8,) if back_cstr else (),
+    )
+    params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
+    return cfg, params, Y, U
+
+
+@pytest.mark.parametrize("H,back_cstr", [(1, False), (2, False), (1, True)])
+def test_sequence_sharded_elbo_matches(H, back_cstr):
+    cfg, params, Y, U = _setup(H=H, back_cstr=back_cstr)
+    ref = float(rgp.elbo(cfg, params, Y, U, block=None))
+    mesh = pmesh.make_mesh(data=8)
+    out = float(sequence_sharded_rgp_elbo(cfg, params, Y, U, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-9)
+
+
+def test_sequence_sharded_gradients_match():
+    cfg, params, Y, U = _setup(H=1)
+    mesh = pmesh.make_mesh(data=8)
+
+    g_ref = jax.grad(lambda p: rgp.elbo(cfg, p, Y, U, block=None))(params)
+    # grad-of-shard_map must run under jit (eager transpose trips an XLA
+    # sharding assert on this jax version)
+    g_seq = jax.jit(
+        jax.grad(lambda p: sequence_sharded_rgp_elbo(cfg, p, Y, U, mesh))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)

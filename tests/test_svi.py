@@ -9,10 +9,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rgp_tpu.inference import natgrad, svi
+from rgp_tpu.inference import natgrad
 from rgp_tpu.kernels import RBF
 from rgp_tpu.models import sparse_gp, svgp
-from rgp_tpu.ops.psi_stats import psi_statistics
 from rgp_tpu.utils.checkgrad import checkgrad
 
 
@@ -105,7 +104,6 @@ def test_minibatch_data_term_unbiased(rng):
 
 def test_svi_predict_reasonable(rng):
     cfg, params, X, Y = _problem(rng, T=60, M=20)
-    import optax
     from rgp_tpu import train
 
     res = train.fit_adam(
