@@ -108,11 +108,20 @@ def run(
     lr: float = 1e-2,
     seed: int = 0,
     num_inducing: int = 100,
+    restarts: int = 1,
     dtype=jnp.float32,
 ) -> dict:
+    """``restarts > 1`` runs multiple seeds and keeps the best final ELBO —
+    the standard stabilizer for the multimodal REVARB objective."""
     prep = _prepare(task, dtype=dtype)
     t0 = time.perf_counter()
-    res, means, vars_ = METHODS[method](prep, iters, lr, seed, num_inducing)
+    best = None
+    for r in range(restarts):
+        out = METHODS[method](prep, iters, lr, seed + r, num_inducing)
+        final_elbo = -float(out[0].losses[-1])
+        if best is None or final_elbo > best[0]:
+            best = (final_elbo, out)
+    res, means, vars_ = best[1]
     jax.block_until_ready(means)
     wall = time.perf_counter() - t0
     m_raw = prep.sy.inverse(np.asarray(means))
@@ -129,6 +138,7 @@ def run(
         "elbo_last": round(float(-losses[-1]), 2),
         "wall_seconds": round(wall, 2),
         "iters_per_sec": round(iters / wall, 2),
+        "restarts": restarts,
         "backend": jax.default_backend(),
     }
 
@@ -143,10 +153,11 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-inducing", type=int, default=100)
+    ap.add_argument("--restarts", type=int, default=1)
     args = ap.parse_args(argv)
     out = run(
         args.task, args.method, iters=args.iters, lr=args.lr, seed=args.seed,
-        num_inducing=args.num_inducing,
+        num_inducing=args.num_inducing, restarts=args.restarts,
     )
     print(json.dumps(out))
 
