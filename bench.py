@@ -74,16 +74,47 @@ def _timed_fit(cfg, params, Y, U, iters, lr, device=None):
     return p, losses, iters / dt
 
 
+def _device_responsive(timeout: int = 240) -> bool:
+    """Probe the default backend from a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel can wedge (a lost client's grant blocks new claims for
+    a long time); a hung device would otherwise hang the whole benchmark. A
+    subprocess probe lets us detect that and fall back to CPU so the bench
+    always emits its JSON line.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.ones(2).sum()))"],
+            timeout=timeout, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--cpu-iters", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--skip-cpu-baseline", action="store_true")
+    ap.add_argument("--no-probe", action="store_true")
     ap.add_argument("--profile", type=int, default=0, help="trace N iters to /tmp/rgp_trace")
     args = ap.parse_args()
 
     import jax
+
+    fallback = False
+    if not args.no_probe and not _device_responsive():
+        jax.config.update("jax_platforms", "cpu")
+        fallback = True
+        args.iters = min(args.iters, 300)  # CPU fallback budget
+        args.skip_cpu_baseline = True
+
     import jax.numpy as jnp
 
     from rgp_tpu.models import rgp
@@ -122,6 +153,7 @@ def main():
         "vs_baseline": _num(vs),
         "details": {
             "backend": backend,
+            "device_fallback": fallback,
             "elbo_first": _num(-losses[0]),
             "elbo_last": _num(-losses[-1]),
             "freerun_rmse_actuator": _num(rmse),
