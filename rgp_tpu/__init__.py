@@ -15,7 +15,7 @@ Public surface (SURVEY.md Appendix B):
     sim    = rgp.freerun(cfg, fit.params, Y, U, U_test)      # means + vars
     post   = rgp.sample_nuts(cfg, fit.params, Y, U, key, n_chains=8)
     traj   = rgp.smc(cfg, fit.params, Y, U, U_test, Y_test, key,
-                     particles=1024, mesh=mesh)
+                     n_particles=1024, mesh=mesh)
 """
 
 from . import kernels, linalg, params

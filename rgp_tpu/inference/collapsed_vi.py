@@ -42,7 +42,7 @@ from ..linalg import (
     log_det_from_chol,
     solve_triangular,
 )
-from ..ops.psi_stats import PsiStats, psi2_per_t, psi_statistics
+from ..ops.psi_stats import PsiStats, psi01, psi2_per_t
 from ..params import positive
 
 __all__ = ["collapsed_bound", "SparsePosterior", "posterior", "predict_uncertain"]
@@ -50,7 +50,8 @@ __all__ = ["collapsed_bound", "SparsePosterior", "posterior", "predict_uncertain
 _LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
 
 
-def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float]):
+def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float],
+            need_trace: bool = True):
     """Shared factorizations for the collapsed bound.
 
     NOTE on the f32/TPU formulation: GPy factors B = I + beta Lm^{-1} Psi2
@@ -72,8 +73,9 @@ def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float]):
     Kmm_j = Kmm + jit_abs * jnp.eye(M, dtype=Kmm.dtype)
     C = Kmm_j + beta * 0.5 * (psi2 + psi2.T)
     Lc = jitchol(C, jitter0=1e-10)
-    # tr(Kmm^{-1} Psi2): congruence only for a trace (no Cholesky of it)
-    LmiP2Lmt = backsub_both_sides(Lm, psi2, "right")
+    # tr(Kmm^{-1} Psi2): congruence only for a trace (no Cholesky of it);
+    # skipped for callers that don't need the bound's trace term (posterior)
+    LmiP2Lmt = backsub_both_sides(Lm, psi2, "right") if need_trace else None
     return Kmm, Lm, LmiP2Lmt, Lc, beta
 
 
@@ -165,7 +167,8 @@ def posterior(
     jitter: Optional[float] = None,
 ) -> SparsePosterior:
     noise = positive(log_noise)
-    _, Lm, _, Lc, beta = _common(kern, kp, Z, stats.psi2, noise, jitter)
+    _, Lm, _, Lc, beta = _common(kern, kp, Z, stats.psi2, noise, jitter,
+                                 need_trace=False)
     M = Z.shape[0]
 
     psi1Y = hdot(stats.psi1.T, Y)
@@ -194,15 +197,15 @@ def predict_uncertain(
     sparse-GP predictive at certain inputs (same code path, s = 0).
     """
     noise = positive(log_noise)
-    stats = psi_statistics(kern, kp, Z, mu_star, s_star, block=None)
+    psi0, psi1 = psi01(kern, kp, Z, mu_star, s_star)
     p2t = psi2_per_t(kern, kp, Z, mu_star, s_star)  # (T*, M, M)
 
-    mean = hdot(stats.psi1, post.alpha)  # (T*, D)
+    mean = hdot(psi1, post.alpha)  # (T*, D)
 
     # alpha_d^T Psi2*_t alpha_d for each t, d
     quad = jnp.einsum("md,tmn,nd->td", post.alpha, p2t, post.alpha)
     trace_term = jnp.einsum("mn,tnm->t", post.woodbury_inv, p2t)  # (T*,)
-    var = quad - mean * mean + (stats.psi0 - trace_term)[:, None]
+    var = quad - mean * mean + (psi0 - trace_term)[:, None]
     if include_noise:
         var = var + noise
     # guard tiny negative values from f32 cancellation

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..kernels import Kernel
 from ..linalg import cho_solve, default_jitter, hdot, jitchol, log_det_from_chol
-from ..ops.psi_stats import PsiStats, psi_statistics
+from ..ops.psi_stats import PsiStats, psi01, psi2_per_t
 import numpy as np
 
 from ..params import positive
@@ -117,8 +117,7 @@ def svi_bound(
 
     # KL(q(u) || N(0, Kmm)) summed over output dims
     M_ = Z.shape[0]
-    Kim = cho_solve(Lm, m)  # (M, D)
-    mKm = jnp.sum(m * Kim)
+    mKm = jnp.sum(m * a)  # a = Kmm^{-1} m already computed above
     tr_KiS = jnp.einsum("dij,ij->", S, cho_solve(Lm, jnp.eye(M_, dtype=m.dtype)))
     logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jax.vmap(jnp.diagonal)(L_S))))
     kl = 0.5 * (tr_KiS + mKm - M_ * D + D * log_det_from_chol(Lm) - logdet_S)
@@ -140,8 +139,6 @@ def svi_predict(
 ):
     """Predictive at q(x*): mean = Psi1* Kmm^{-1} m; variance includes the
     q(u) covariance and the psi-statistic moment-matching terms."""
-    from ..ops.psi_stats import psi2_per_t
-
     noise = positive(log_noise)
     Kmm = kern.K(kp, Z)
     if jitter is None:
@@ -150,9 +147,9 @@ def svi_predict(
     m, S, _ = qu_moments(qu)
     a = cho_solve(Lm, m)  # (M, D)
 
-    stats = psi_statistics(kern, kp, Z, mu_star, s_star, block=None)
+    psi0_s, psi1_s = psi01(kern, kp, Z, mu_star, s_star)
     p2t = psi2_per_t(kern, kp, Z, mu_star, s_star)  # (T*, M, M)
-    mean = hdot(stats.psi1, a)  # (T*, D)
+    mean = hdot(psi1_s, a)  # (T*, D)
 
     M_ = Z.shape[0]
     Ki = cho_solve(Lm, jnp.eye(M_, dtype=m.dtype))
@@ -161,7 +158,7 @@ def svi_predict(
     quad = jnp.einsum("md,tmn,nd->td", a, p2t, a)
     tr_Ki = jnp.einsum("mn,tnm->t", Ki, p2t)
     tr_S = jnp.einsum("dmn,tnm->td", KiSKi, p2t)
-    var = quad - mean * mean + (stats.psi0 - tr_Ki)[:, None] + tr_S
+    var = quad - mean * mean + (psi0_s - tr_Ki)[:, None] + tr_S
     if include_noise:
         var = var + noise
     return mean, jnp.maximum(var, 1e-12)

@@ -74,11 +74,18 @@ def freerun(
 
     U_test = jnp.asarray(U_test)
     Du = U_test.shape[1]
-    # exogenous window rows [u_t, ..., u_{t-Lu+1}] over test steps; earlier-than-
-    # start entries are zero (consistent with windows._stack_lags padding).
+    # exogenous window rows [u_t, ..., u_{t-Lu+1}] over test steps, seeded from
+    # the TRAINING tail so the first steps see real lags (training trims all
+    # zero-padded rows, so zeros here would be out-of-distribution).
     from ..data.windows import current_window
 
-    Uw = current_window(U_test, Lu) if Lu > 0 else jnp.zeros((U_test.shape[0], 0))
+    if Lu > 1:
+        U_cat = jnp.concatenate([jnp.asarray(U_train)[-(Lu - 1):], U_test], axis=0)
+        Uw = current_window(U_cat, Lu)[Lu - 1:]
+    elif Lu == 1:
+        Uw = current_window(U_test, 1)
+    else:
+        Uw = jnp.zeros((U_test.shape[0], 0))
 
     def step(carry, uw):
         y_mu, y_var = carry  # (Ly, Dy) most-recent-first window

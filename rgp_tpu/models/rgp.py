@@ -98,14 +98,24 @@ def deep_rgp_config(
     ordered from the layer *below the output* down to the U-driven layer.
     Internally layers are stored deepest-first."""
     w_out = wins[0]
-    hidden_wins = list(wins[1:])[::-1]  # deepest-first
+    # wins[1:], q_dims and kernels are all given output-side-first (matching the
+    # reference's ordering); reverse ALL of them together to deepest-first
+    hidden_wins = list(wins[1:])[::-1]
     H = len(hidden_wins)
     if q_dims is None:
         q_dims = [1] * H
+    else:
+        q_dims = list(q_dims)[::-1]
+    kernels_d = None if kernels is None else list(kernels)[::-1]
     layer_specs = []
     for h, (w, q) in enumerate(zip(hidden_wins, q_dims)):
         din = w * q + (u_win * u_dim if h == 0 else w * q_dims[h - 1])
-        k = kernels[h] if kernels is not None else RBF(input_dim=din)
+        k = kernels_d[h] if kernels_d is not None else RBF(input_dim=din)
+        if k.input_dim != din:
+            raise ValueError(
+                f"kernel for hidden layer {h} (deepest-first) has input_dim "
+                f"{k.input_dim}, but the layer's windowed input dim is {din}"
+            )
         layer_specs.append(LayerSpec(kernel=k, win=w, q_dim=q, num_inducing=num_inducing))
     out_win = max(1, w_out)
     dout_in = out_win * q_dims[-1]

@@ -133,15 +133,17 @@ def make_ssm(
         return jax.vmap(one)(particles)
 
     def init_sample(key, n):
-        """Start every particle at the trained variational tail, plus q-noise."""
-        bufs = []
+        """Start every particle at the trained variational tail, with per-state
+        noise scaled by the trained q(x) standard deviations."""
+        bufs, stds = [], []
         for h, spec in enumerate(specs):
             B = buf_lens[h]
             lam_t = jnp.exp(params["layers"][h]["log_lam"])
             bufs.append(mus[h][-B:][::-1])
+            stds.append(jnp.sqrt(lam_t[-B:][::-1]))
         base = pack(bufs)
-        noise_scale = 0.1
-        return base[None, :] + noise_scale * jax.random.normal(
+        std = pack(stds)
+        return base[None, :] + std[None, :] * jax.random.normal(
             key, (n, state_dim), base.dtype
         )
 

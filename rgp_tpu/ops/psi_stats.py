@@ -32,7 +32,7 @@ from ..kernels import RBF, Bias, Kernel, Linear, Sum, White, kern_slice
 from ..linalg import hdot
 from ..params import positive
 
-__all__ = ["PsiStats", "psi_statistics", "psi2_per_t"]
+__all__ = ["PsiStats", "psi_statistics", "psi01", "psi2_per_t"]
 
 _PREC = lax.Precision.HIGHEST
 
@@ -151,6 +151,13 @@ def _broadcast_s(mu, s):
     if s is None:
         return jnp.zeros_like(mu)
     return jnp.broadcast_to(jnp.asarray(s, mu.dtype), mu.shape)
+
+
+def psi01(kern: Kernel, p, Z, mu, s):
+    """(Psi0 (T,), Psi1 (T, M)) only — for prediction paths that pair this
+    with :func:`psi2_per_t` and must not pay for the summed Psi2."""
+    s = _broadcast_s(mu, s)
+    return _psi01(kern, p, Z, mu, s)
 
 
 def psi2_per_t(kern: Kernel, p, Z, mu, s):

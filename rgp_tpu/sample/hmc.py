@@ -27,16 +27,23 @@ class HMCResult(NamedTuple):
 
 
 def _leapfrog(potential_fn, z, r, step_size, n_steps, mass_inv):
+    """Standard leapfrog: opening half-kick, full drift+kick steps, closing
+    half-kick — ONE gradient evaluation per step (adjacent half-kicks fused;
+    the naive kick-drift-kick loop costs two grads per step)."""
     grad = jax.grad(potential_fn)
+
+    r = r - 0.5 * step_size * grad(z)
+    z = z + step_size * mass_inv * r
 
     def body(_, carry):
         z, r = carry
-        r = r - 0.5 * step_size * grad(z)
+        r = r - step_size * grad(z)
         z = z + step_size * mass_inv * r
-        r = r - 0.5 * step_size * grad(z)
         return z, r
 
-    return jax.lax.fori_loop(0, n_steps, body, (z, r))
+    z, r = jax.lax.fori_loop(0, n_steps - 1, body, (z, r))
+    r = r - 0.5 * step_size * grad(z)
+    return z, r
 
 
 def hmc_sample(

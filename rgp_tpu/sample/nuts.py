@@ -56,6 +56,7 @@ class _TreeState(NamedTuple):
     r_left: jnp.ndarray
     z_right: jnp.ndarray
     r_right: jnp.ndarray
+    g_right: jnp.ndarray  # cached gradient at the last generated leaf
     z_prop: jnp.ndarray
     U_prop: jnp.ndarray
     log_weight: jnp.ndarray  # log sum_leaves exp(H0 - H_leaf)
@@ -67,22 +68,26 @@ class _TreeState(NamedTuple):
 
 
 def _build_subtree(
-    potential_fn, grad_fn, z0, r0, direction, depth, step_size, mass_inv, H0, key, max_depth
+    potential_fn, grad_fn, z0, r0, g0, direction, depth, step_size, mass_inv, H0, key, max_depth
 ):
     """Iteratively add 2^depth leapfrog leaves going outward from (z0, r0).
 
-    Returns a _TreeState for the subtree (left endpoint = first leaf, right
-    endpoint = last leaf, in trajectory order along `direction`).
+    ``g0`` is the cached gradient at z0 — each leaf costs exactly ONE new
+    gradient evaluation (the closing half-kick's gradient is reused as the
+    next leaf's opening half-kick). Returns a _TreeState for the subtree
+    (left endpoint = first leaf, right endpoint = last leaf, in trajectory
+    order along `direction`).
     """
     dim = z0.shape[0]
     n_leaf_max = jnp.asarray(2, jnp.int32) ** depth
     eps = direction * step_size
 
-    def leapfrog(z, r):
-        r = r - 0.5 * eps * grad_fn(z)
-        z = z + eps * mass_inv * r
-        r = r - 0.5 * eps * grad_fn(z)
-        return z, r
+    def leapfrog(z, r, g):
+        r_half = r - 0.5 * eps * g
+        z_new = z + eps * mass_inv * r_half
+        g_new = grad_fn(z_new)
+        r_new = r_half - 0.5 * eps * g_new
+        return z_new, r_new, g_new
 
     # checkpoint stacks, one slot per level k = 0..max_depth-1
     r_ckpt = jnp.zeros((max_depth, dim), z0.dtype)
@@ -92,6 +97,7 @@ def _build_subtree(
         n=jnp.asarray(0, jnp.int32),
         z=z0,
         r=r0,
+        g=g0,
         z_first=z0,
         r_first=r0,
         z_prop=z0,
@@ -114,7 +120,7 @@ def _build_subtree(
 
     def body(st):
         n = st["n"]
-        z, r = leapfrog(st["z"], st["r"])
+        z, r, g = leapfrog(st["z"], st["r"], st["g"])
         U = potential_fn(z)
         H = U + 0.5 * jnp.sum(mass_inv * r * r)
         delta = H - H0
@@ -160,6 +166,7 @@ def _build_subtree(
             n=n + 1,
             z=z,
             r=r,
+            g=g,
             z_first=z_first,
             r_first=r_first,
             z_prop=z_prop,
@@ -180,6 +187,7 @@ def _build_subtree(
         r_left=st["r_first"],
         z_right=st["z"],
         r_right=st["r"],
+        g_right=st["g"],
         z_prop=st["z_prop"],
         U_prop=st["U_prop"],
         log_weight=st["log_weight"],
@@ -196,14 +204,17 @@ def _nuts_transition(potential_fn, grad_fn, z, key, step_size, mass_inv, max_dep
     k_mom, k_loop = jax.random.split(key)
     r0 = jnp.sqrt(1.0 / mass_inv) * jax.random.normal(k_mom, (dim,), z.dtype)
     U0 = potential_fn(z)
+    g0 = grad_fn(z)
     H0 = U0 + 0.5 * jnp.sum(mass_inv * r0 * r0)
 
     init = dict(
         depth=jnp.asarray(0, jnp.int32),
         z_left=z,
         r_left=r0,
+        g_left=g0,
         z_right=z,
         r_right=r0,
+        g_right=g0,
         z_prop=z,
         U_prop=U0,
         log_weight=jnp.asarray(0.0, z.dtype),  # root leaf weight exp(H0-H0)=1
@@ -227,17 +238,20 @@ def _nuts_transition(potential_fn, grad_fn, z, key, step_size, mass_inv, max_dep
         direction = jnp.where(go_right, 1.0, -1.0).astype(z.dtype)
         z_start = jnp.where(go_right, st["z_right"], st["z_left"])
         r_start = jnp.where(go_right, st["r_right"], st["r_left"])
+        g_start = jnp.where(go_right, st["g_right"], st["g_left"])
 
         sub = _build_subtree(
-            potential_fn, grad_fn, z_start, r_start, direction, st["depth"],
-            step_size, mass_inv, H0, k_sub, max_depth,
+            potential_fn, grad_fn, z_start, r_start, g_start, direction,
+            st["depth"], step_size, mass_inv, H0, k_sub, max_depth,
         )
 
         # update endpoints (sub endpoints are in trajectory order)
         z_left = jnp.where(go_right, st["z_left"], sub.z_right)
         r_left = jnp.where(go_right, st["r_left"], sub.r_right)
+        g_left = jnp.where(go_right, st["g_left"], sub.g_right)
         z_right = jnp.where(go_right, sub.z_right, st["z_right"])
         r_right = jnp.where(go_right, sub.r_right, st["r_right"])
+        g_right = jnp.where(go_right, sub.g_right, st["g_right"])
 
         # biased progressive sampling across the doubling
         ok = jnp.logical_not(jnp.logical_or(sub.turning, sub.diverging))
@@ -257,8 +271,10 @@ def _nuts_transition(potential_fn, grad_fn, z, key, step_size, mass_inv, max_dep
             depth=st["depth"] + 1,
             z_left=z_left,
             r_left=r_left,
+            g_left=g_left,
             z_right=z_right,
             r_right=r_right,
+            g_right=g_right,
             z_prop=z_prop,
             U_prop=U_prop,
             log_weight=jnp.logaddexp(st["log_weight"], jnp.where(ok, sub.log_weight, -jnp.inf)),
@@ -365,14 +381,21 @@ def nuts_sample(
         )(zs, keys)
         da = _da_update(da, _mean_over_chains(acc), target_accept)
 
-        # Welford over the middle window (shared across chains)
+        # Welford over the middle window, POOLED over every chain's sample
+        # (Chan batch update): the cross-chain mean alone would underestimate
+        # the posterior variance by ~n_chains and wreck the mass adaptation.
         mean, m2, cnt = welford
         in_mid = jnp.logical_and(i >= mid_lo, i < mid_hi)
-        zbar = _mean_over_chains_vec(zP)
-        cnt_new = cnt + 1.0
-        delta = zbar - mean
-        mean_new = mean + delta / cnt_new
-        m2_new = m2 + delta * (zbar - mean_new)
+        bm = _mean_over_chains_vec(zP)  # batch mean over all chains
+        bM2_local = jnp.sum((zP - bm[None, :]) ** 2, axis=0)
+        k = jnp.asarray(float(zP.shape[0]), zP.dtype)
+        if chain_axis is not None:
+            bM2_local = lax.psum(bM2_local, chain_axis)
+            k = k * lax.axis_size(chain_axis)
+        cnt_new = cnt + k
+        delta = bm - mean
+        mean_new = mean + delta * (k / cnt_new)
+        m2_new = m2 + bM2_local + delta * delta * (cnt * k / cnt_new)
         welford = jax.tree.map(
             lambda new, old: jnp.where(in_mid, new, old),
             (mean_new, m2_new, cnt_new),

@@ -26,7 +26,11 @@ class CheckgradResult(NamedTuple):
 
     @property
     def ok(self):
-        return bool(np.isfinite(self.analytic).all())
+        """Finite analytic gradient AND FD agreement within 1e-4 relative."""
+        return bool(np.isfinite(self.analytic).all()) and self.max_rel_err < 1e-4
+
+    def passed(self, rel_tol: float = 1e-4) -> bool:
+        return bool(np.isfinite(self.analytic).all()) and self.max_rel_err < rel_tol
 
 
 def checkgrad(
