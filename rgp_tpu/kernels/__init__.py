@@ -29,7 +29,22 @@ import numpy as np
 
 from ..params import np_positive_inv, positive
 
-__all__ = ["Kernel", "RBF", "Linear", "White", "Bias", "Sum", "Prod", "kern_slice"]
+__all__ = [
+    "Kernel",
+    "RBF",
+    "Linear",
+    "White",
+    "Bias",
+    "Sum",
+    "Prod",
+    "Exponential",
+    "Matern32",
+    "Matern52",
+    "RatQuad",
+    "StdPeriodic",
+    "MLP",
+    "kern_slice",
+]
 
 
 def kern_slice(kern: "Kernel", X):
@@ -97,6 +112,172 @@ class RBF(Kernel):
     def Kdiag(self, p, X):
         var = positive(p["log_var"])
         return jnp.broadcast_to(var, X.shape[:-1])
+
+
+def _safe_r(r2):
+    """sqrt(r2) with a gradient-safe zero: d sqrt/d r2 is masked where r2 == 0
+    (the Matern-family K(r) forms all have dK/dr -> finite at r=0, and the
+    chain through this masked sqrt yields the correct 0 diagonal gradient)."""
+    pos = r2 > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, r2, 1.0)), 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class _StationaryIso(Kernel):
+    """Base for stationary kernels of the scaled distance r (GPy
+    `GPy:GPy/kern/src/stationary.py` [H]: Exponential/Matern/RatQuad share the
+    lengthscale/variance plumbing and differ only in K(r))."""
+
+    ard: bool = True
+
+    def init(self, variance: float = 1.0, lengthscale=1.0, dtype=jnp.float32):
+        nls = self.input_dim if self.ard else 1
+        ls = np.broadcast_to(np.asarray(lengthscale, np.float64), (nls,))
+        return {
+            "log_var": np_positive_inv(variance, dtype),
+            "log_ls": np_positive_inv(ls, dtype),
+        }
+
+    def _r2(self, p, X, X2):
+        ls = positive(p["log_ls"])
+        A = kern_slice(self, X) / ls
+        B = A if X2 is None else kern_slice(self, X2) / ls
+        aa = jnp.sum(A * A, axis=-1)[..., :, None]
+        bb = jnp.sum(B * B, axis=-1)[..., None, :]
+        ab = hdot(A, jnp.swapaxes(B, -1, -2))
+        return jnp.maximum(aa + bb - 2.0 * ab, 0.0)
+
+    def K_of_r(self, r):
+        raise NotImplementedError
+
+    def K(self, p, X, X2=None):
+        var = positive(p["log_var"])
+        return var * self.K_of_r(_safe_r(self._r2(p, X, X2)))
+
+    def Kdiag(self, p, X):
+        var = positive(p["log_var"])
+        return jnp.broadcast_to(var, X.shape[:-1])
+
+
+@dataclasses.dataclass(frozen=True)
+class Exponential(_StationaryIso):
+    """k = s^2 exp(-r)  (Matern-1/2; `GPy:GPy/kern/src/stationary.py` [H])."""
+
+    def K_of_r(self, r):
+        return jnp.exp(-r)
+
+
+@dataclasses.dataclass(frozen=True)
+class Matern32(_StationaryIso):
+    """k = s^2 (1 + sqrt(3) r) exp(-sqrt(3) r) (`GPy:.../stationary.py` [H])."""
+
+    def K_of_r(self, r):
+        a = jnp.sqrt(3.0) * r
+        return (1.0 + a) * jnp.exp(-a)
+
+
+@dataclasses.dataclass(frozen=True)
+class Matern52(_StationaryIso):
+    """k = s^2 (1 + sqrt(5) r + 5 r^2/3) exp(-sqrt(5) r) (`GPy:.../stationary.py` [H])."""
+
+    def K_of_r(self, r):
+        a = jnp.sqrt(5.0) * r
+        return (1.0 + a + a * a / 3.0) * jnp.exp(-a)
+
+
+@dataclasses.dataclass(frozen=True)
+class RatQuad(_StationaryIso):
+    """Rational quadratic k = s^2 (1 + r^2/(2 alpha))^(-alpha)
+    (`GPy:.../stationary.py` RatQuad [H]); alpha ("power") is a positive
+    hyperparameter learned alongside the lengthscales."""
+
+    def init(self, variance: float = 1.0, lengthscale=1.0, power: float = 2.0, dtype=jnp.float32):
+        p = super().init(variance=variance, lengthscale=lengthscale, dtype=dtype)
+        p["log_power"] = np_positive_inv(power, dtype)
+        return p
+
+    def K(self, p, X, X2=None):
+        var = positive(p["log_var"])
+        alpha = positive(p["log_power"])
+        r2 = self._r2(p, X, X2)
+        return var * jnp.exp(-alpha * jnp.log1p(r2 / (2.0 * alpha)))
+
+
+@dataclasses.dataclass(frozen=True)
+class StdPeriodic(Kernel):
+    """Standard periodic kernel (MacKay):
+    k = s^2 exp(-2 sum_q sin^2(pi (x_q - x'_q)/T_q) / l_q^2)
+    (`GPy:GPy/kern/src/standard_periodic.py` [H])."""
+
+    ard: bool = True
+
+    def init(self, variance: float = 1.0, period=1.0, lengthscale=1.0, dtype=jnp.float32):
+        n = self.input_dim if self.ard else 1
+        per = np.broadcast_to(np.asarray(period, np.float64), (n,))
+        ls = np.broadcast_to(np.asarray(lengthscale, np.float64), (n,))
+        return {
+            "log_var": np_positive_inv(variance, dtype),
+            "log_period": np_positive_inv(per, dtype),
+            "log_ls": np_positive_inv(ls, dtype),
+        }
+
+    def K(self, p, X, X2=None):
+        var = positive(p["log_var"])
+        per = positive(p["log_period"])
+        ls = positive(p["log_ls"])
+        Xa = kern_slice(self, X)
+        X2a = Xa if X2 is None else kern_slice(self, X2)
+        d = Xa[..., :, None, :] - X2a[..., None, :, :]  # (N, N2, Q)
+        sin2 = jnp.sin(jnp.pi * d / per) ** 2
+        return var * jnp.exp(-2.0 * jnp.sum(sin2 / (ls * ls), axis=-1))
+
+    def Kdiag(self, p, X):
+        var = positive(p["log_var"])
+        return jnp.broadcast_to(var, X.shape[:-1])
+
+
+@dataclasses.dataclass(frozen=True)
+class MLP(Kernel):
+    """Arcsine / neural-network kernel (Williams 1998):
+    k = s^2 (2/pi) asin( w x.x' + b ) / sqrt((w x.x + b + 1)(w x'.x' + b + 1))
+    (`GPy:GPy/kern/src/mlp.py` [H]); w = weight variance, b = bias variance."""
+
+    def init(self, variance: float = 1.0, weight_variance: float = 1.0,
+             bias_variance: float = 1.0, dtype=jnp.float32):
+        return {
+            "log_var": np_positive_inv(variance, dtype),
+            "log_w": np_positive_inv(weight_variance, dtype),
+            "log_b": np_positive_inv(bias_variance, dtype),
+        }
+
+    def _inner(self, p, X, X2):
+        w = positive(p["log_w"])
+        b = positive(p["log_b"])
+        Xa = kern_slice(self, X)
+        X2a = Xa if X2 is None else kern_slice(self, X2)
+        return w * hdot(Xa, jnp.swapaxes(X2a, -1, -2)) + b
+
+    def K(self, p, X, X2=None):
+        var = positive(p["log_var"])
+        w = positive(p["log_w"])
+        b = positive(p["log_b"])
+        num = self._inner(p, X, X2)
+        Xa = kern_slice(self, X)
+        X2a = Xa if X2 is None else kern_slice(self, X2)
+        dx = w * jnp.sum(Xa * Xa, axis=-1) + b + 1.0
+        dx2 = w * jnp.sum(X2a * X2a, axis=-1) + b + 1.0
+        denom = jnp.sqrt(dx[..., :, None] * dx2[..., None, :])
+        # clip for f32 rounding: |num/denom| can exceed 1 by ~1e-7 on the diagonal
+        z = jnp.clip(num / denom, -1.0, 1.0)
+        return var * (2.0 / jnp.pi) * jnp.arcsin(z)
+
+    def Kdiag(self, p, X):
+        var = positive(p["log_var"])
+        w = positive(p["log_w"])
+        b = positive(p["log_b"])
+        Xa = kern_slice(self, X)
+        dx = w * jnp.sum(Xa * Xa, axis=-1) + b
+        return var * (2.0 / jnp.pi) * jnp.arcsin(dx / (dx + 1.0))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,13 +26,14 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..kernels import RBF, Bias, Kernel, Linear, Sum, White, kern_slice
 from ..linalg import hdot
 from ..params import positive
 
-__all__ = ["PsiStats", "psi_statistics", "psi01", "psi2_per_t"]
+__all__ = ["PsiStats", "psi_statistics", "psi01", "psi2_per_t", "has_closed_psi"]
 
 _PREC = lax.Precision.HIGHEST
 
@@ -153,15 +154,37 @@ def _broadcast_s(mu, s):
     return jnp.broadcast_to(jnp.asarray(s, mu.dtype), mu.shape)
 
 
+def has_closed_psi(kern: Kernel) -> bool:
+    """True if closed-form uncertain-input psi statistics exist for ``kern``.
+
+    Kernels without closed forms (Matern family, RatQuad, StdPeriodic, MLP,
+    Prod over shared dims) are still fully usable on *certain* inputs
+    (``s=None``): Psi1 = K(mu, Z), Psi2 = K^T K — which is all the plain
+    sparse-GP / GP-NARX / SVGP paths need. This mirrors the reference split:
+    GPy restricts `psi_comp` to RBF/Linear but every kernel works in
+    non-uncertain `SparseGPRegression` [H].
+    """
+    if isinstance(kern, (RBF, Linear, Bias, White)):
+        return True
+    if isinstance(kern, Sum):
+        return all(has_closed_psi(k) for k in kern.parts)
+    return False
+
+
 def psi01(kern: Kernel, p, Z, mu, s):
     """(Psi0 (T,), Psi1 (T, M)) only — for prediction paths that pair this
     with :func:`psi2_per_t` and must not pay for the summed Psi2."""
+    if s is None and not has_closed_psi(kern):
+        return kern.Kdiag(p, mu), kern.K(p, mu, Z)
     s = _broadcast_s(mu, s)
     return _psi01(kern, p, Z, mu, s)
 
 
 def psi2_per_t(kern: Kernel, p, Z, mu, s):
     """Per-timestep Psi2_t (T, M, M). Use for prediction/SVI on small batches."""
+    if s is None and not has_closed_psi(kern):
+        K = kern.K(p, mu, Z)
+        return K[:, :, None] * K[:, None, :]
     s = _broadcast_s(mu, s)
     if isinstance(kern, RBF):
         return _rbf_psi2_per_t(p, kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s))
@@ -207,12 +230,140 @@ def _psi01(kern: Kernel, p, Z, mu, s):
     raise NotImplementedError(f"psi stats for kernel {type(kern).__name__}")
 
 
+def _active_dims(kern: Kernel):
+    if kern.active_dims is not None:
+        return np.asarray(kern.active_dims, np.int64)
+    return np.arange(kern.input_dim, dtype=np.int64)
+
+
+def _scatter_full(vals, dims, Q, dtype):
+    """Place per-active-dim values into a full-width (Q,) vector (zeros elsewhere)."""
+    out = jnp.zeros((Q,), dtype=dtype)
+    return out.at[jnp.asarray(dims)].set(jnp.broadcast_to(vals, (len(dims),)))
+
+
+def _rbf_inv_l2_full(kern: RBF, p, Q, dtype):
+    """Full-width inverse squared lengthscales: 1/l_q^2 on active dims, 0 off."""
+    ls = positive(p["log_ls"])
+    return _scatter_full(1.0 / (ls * ls), _active_dims(kern), Q, dtype)
+
+
+def _linear_var_full(kern: Linear, p, Q, dtype):
+    v = positive(p["log_var"])
+    return _scatter_full(v, _active_dims(kern), Q, dtype)
+
+
+def _rbf_linear_cross(ka: RBF, pa, kb: Linear, pb, Z, mu, s, per_t: bool):
+    """E_q[k_rbf(x, z_m) k_lin(x, z_n)], closed form (one direction, not
+    symmetrized).
+
+    With q(x)=N(mu, diag(s)) and the Gaussian-product identity, conditioning x
+    on the RBF factor centred at z_m gives E[x_q * g(x)] = Psi1_rbf[t,m] *
+    mtilde_q with mtilde_q = mu_q - s_q w_q (mu_q - z_mq), w_q = 1/(l_q^2+s_q)
+    on the RBF's active dims (0 elsewhere). Then
+      cross[t,m,n] = Psi1_rbf[t,m] * sum_q v_q z_nq mtilde_q.
+    All terms reduce to matmuls; the summed-over-t form never materializes
+    (T, M, M). The reference (GPy `Add.psi2`) raises NotImplementedError for
+    this pair — this is an additive capability.
+    """
+    Q = mu.shape[-1]
+    ia = _rbf_inv_l2_full(ka, pa, Q, mu.dtype)  # (Q,)
+    w = ia / (1.0 + s * ia)  # (T, Q): 1/(l^2+s) on A, 0 elsewhere
+    vbZ = Z * _linear_var_full(kb, pb, Q, mu.dtype)  # (M, Q)
+
+    psi1a = _rbf_psi1(pa, kern_slice(ka, Z), kern_slice(ka, mu), kern_slice(ka, s))
+
+    sw = s * w  # (T, Q)
+    T1 = hdot(mu, vbZ.T)  # (T, M): sum_q v z_n mu
+    T2 = hdot(sw * mu, vbZ.T)  # (T, M)
+    if per_t:
+        T3 = jnp.einsum("tq,mq,nq->tmn", sw, Z, vbZ, precision=_PREC)
+        return psi1a[:, :, None] * ((T1 - T2)[:, None, :] + T3)
+    H = hdot(psi1a.T, sw)  # (M, Q)
+    return hdot(psi1a.T, T1 - T2) + hdot(Z * H, vbZ.T)
+
+
+def _linear_linear_cross(ka: Linear, pa, kb: Linear, pb, Z, mu, s, per_t: bool):
+    """E_q[k_lina(x,z_m) k_linb(x,z_n)] = (va.z_m . mu)(vb.z_n . mu)
+    + sum_q va_q vb_q z_mq z_nq s_q (one direction)."""
+    Q = mu.shape[-1]
+    vaZ = Z * _linear_var_full(ka, pa, Q, mu.dtype)
+    vbZ = Z * _linear_var_full(kb, pb, Q, mu.dtype)
+    A1 = hdot(mu, vaZ.T)  # (T, M)
+    B1 = hdot(mu, vbZ.T)  # (T, M)
+    if per_t:
+        corr = jnp.einsum("tq,mq,nq->tmn", s, vaZ, vbZ, precision=_PREC)
+        return A1[:, :, None] * B1[:, None, :] + corr
+    s_sum = jnp.sum(s, axis=0)  # (Q,)
+    return hdot(A1.T, B1) + hdot(vaZ * s_sum, vbZ.T)
+
+
+def _rbf_rbf_cross(ka: RBF, pa, kb: RBF, pb, Z, mu, s, per_t: bool):
+    """E_q[k_a(x,z_m) k_b(x,z_n)] for two RBF parts with different
+    hyperparameters / active dims (one direction; symmetric in (m,n) swap with
+    a/b swap). Completed-square identity per dim:
+      ia (x-zm)^2 + ib (x-zn)^2 = g (x-c)^2 + (ia ib/g)(zm-zn)^2,
+      g = ia+ib, c = (ia zm + ib zn)/g,
+    then the Gaussian expectation is prod_q (1+s g)^{-1/2}
+    exp(-h (mu-c)^2 / 2) with h = g/(1+s g); (mu-c)^2 is expanded so every
+    term is a matmul or a tmn-einsum (no (T,M,N,Q) intermediate)."""
+    Q = mu.shape[-1]
+    ia = _rbf_inv_l2_full(ka, pa, Q, mu.dtype)
+    ib = _rbf_inv_l2_full(kb, pb, Q, mu.dtype)
+    va = positive(pa["log_var"])
+    vb = positive(pb["log_var"])
+    g = ia + ib  # (Q,)
+    safe_g = jnp.where(g > 0, g, 1.0)
+    h = g / (1.0 + s * g)  # (T, Q)
+    # constant (m,n) term: sum_q (ia ib / g) (zm - zn)^2
+    r = ia * ib / safe_g  # (Q,)
+    Zr = Z * jnp.sqrt(r)
+    zz = jnp.sum(Zr * Zr, axis=-1)
+    D = zz[:, None] + zz[None, :] - 2.0 * hdot(Zr, Zr.T)  # (M, M)
+    # log-determinant and mu^2 terms, (T,)
+    logdet = -0.5 * jnp.sum(jnp.log1p(s * g), axis=-1)
+    E0 = jnp.sum(h * mu * mu, axis=-1)
+    # -2 mu c and c^2 terms split over (t,m) / (t,n) / (t,m,n)
+    wa = ia / safe_g  # fraction of c from z_m
+    wb = ib / safe_g
+    Am = -2.0 * hdot(h * mu, (Z * wa).T) + hdot(h, ((Z * wa) ** 2).T)  # (T, M)
+    An = -2.0 * hdot(h * mu, (Z * wb).T) + hdot(h, ((Z * wb) ** 2).T)  # (T, M)
+    Cmn = 2.0 * jnp.einsum("tq,mq,nq->tmn", h, Z * wa, Z * wb, precision=_PREC)
+    log_cross = (
+        jnp.log(va * vb)
+        + (logdet - 0.5 * E0)[:, None, None]
+        - 0.5 * (Am[:, :, None] + An[:, None, :] + Cmn)
+        - 0.5 * D[None, :, :]
+    )
+    cross = jnp.exp(log_cross)
+    return cross if per_t else jnp.sum(cross, axis=0)
+
+
+def _pair_cross_psi2(ki, pi, kj, pj, Z, mu, s, per_t: bool):
+    """Symmetrized cross term sum over the (i,j) pair:
+    E[k_i(x,zm)k_j(x,zn)] + E[k_j(x,zm)k_i(x,zn)] = C + C^T."""
+    if isinstance(ki, RBF) and isinstance(kj, Linear):
+        C = _rbf_linear_cross(ki, pi, kj, pj, Z, mu, s, per_t)
+    elif isinstance(ki, Linear) and isinstance(kj, RBF):
+        C = _rbf_linear_cross(kj, pj, ki, pi, Z, mu, s, per_t)
+    elif isinstance(ki, Linear) and isinstance(kj, Linear):
+        C = _linear_linear_cross(ki, pi, kj, pj, Z, mu, s, per_t)
+    elif isinstance(ki, RBF) and isinstance(kj, RBF):
+        C = _rbf_rbf_cross(ki, pi, kj, pj, Z, mu, s, per_t)
+    else:
+        raise NotImplementedError(
+            f"psi2 cross term between {type(ki).__name__} and {type(kj).__name__}"
+        )
+    return C + (jnp.swapaxes(C, -1, -2))
+
+
 def _sum_psi2_cross(kern: Sum, p, Z, mu, s, per_t: bool = False):
     """Cross terms E[k_a(x,zm) k_b(x,zm')] for additive kernels.
 
-    Supported cross pairs (matching the reference's practical usage,
-    `GPy:GPy/kern/src/add.py` [M]): Bias x {RBF, Linear}. White crosses vanish.
-    RBF x Linear cross psi2 is not implemented (raises), as in common GPy builds.
+    Exceeds the reference (`GPy:GPy/kern/src/add.py` [M] raises for most
+    pairs): closed forms for all pairs among {RBF, Linear, Bias} including
+    RBF x Linear, RBF x RBF (distinct hyperparams/active dims) and
+    Linear x Linear. White crosses vanish.
     """
     T, M = mu.shape[0], Z.shape[0]
     total = jnp.zeros((T, M, M) if per_t else (M, M), dtype=mu.dtype)
@@ -235,10 +386,8 @@ def _sum_psi2_cross(kern: Sum, p, Z, mu, s, per_t: bool = False):
                     colsum = jnp.sum(psi1_o, axis=0)  # (M,)
                     cross = bvar * (colsum[:, None] + colsum[None, :])
                 total = total + cross
-            elif isinstance(ki, (RBF, Linear)) and isinstance(kj, (RBF, Linear)):
-                raise NotImplementedError(
-                    "psi2 cross term between RBF and Linear parts is not implemented"
-                )
+            else:
+                total = total + _pair_cross_psi2(ki, pi, kj, pj, Z, mu, s, per_t)
     return total
 
 
@@ -257,7 +406,13 @@ def psi_statistics(
     Psi2=K^T K. The Psi2 time sum is accumulated in chunks of ``block``
     timesteps under ``lax.scan`` so the (T, M, M) intermediate never
     materializes (pass ``block=None`` to materialize — fastest for small T).
+
+    Kernels without closed-form psi statistics (see :func:`has_closed_psi`)
+    are supported on certain inputs only, via the K-based degeneration.
     """
+    if s is None and not has_closed_psi(kern):
+        K = kern.K(p, mu, Z)
+        return PsiStats(kern.Kdiag(p, mu), K, hdot(K.T, K))
     s = _broadcast_s(mu, s)
     psi0, psi1 = _psi01(kern, p, Z, mu, s)
     psi2 = _psi2_sum(kern, p, Z, mu, s, block=block)

@@ -74,3 +74,33 @@ def test_lbfgs_driver_reference_parity():
     )
     e1 = float(rgp.elbo(cfg, res.params, Y, U, block=None))
     assert e1 > e0 + 1.0, (e0, e1)
+
+
+def test_scg_driver_reference_parity(rng):
+    """fit_scg (the reference's m.optimize('scg'), Moller 1993) — monotone
+    non-increasing loss trajectory, quadratic solved to high accuracy, and
+    bound improvement on the RGP ELBO."""
+    # exact quadratic: SCG must reach the optimum fast
+    A = rng.standard_normal((8, 8))
+    Q = jnp.asarray(A @ A.T + 8 * np.eye(8))
+    b = jnp.asarray(rng.standard_normal(8))
+    w_star = jnp.linalg.solve(Q, b)
+
+    res = train.fit_scg(
+        lambda w: 0.5 * w @ Q @ w - b @ w, jnp.zeros(8), iters=60, jit=True
+    )
+    np.testing.assert_allclose(np.asarray(res.params), np.asarray(w_star), atol=1e-8)
+    losses = np.asarray(res.losses)
+    assert np.all(np.diff(losses) <= 1e-12), "SCG loss must be monotone"
+
+    # RGP ELBO improvement (same harness as the L-BFGS parity test)
+    Y, U = _data(Dy=1)
+    cfg = rgp.deep_rgp_config(wins=[0, 2], u_win=2, y_dim=1, u_dim=1, num_inducing=6)
+    params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
+    e0 = float(rgp.elbo(cfg, params, Y, U, block=None))
+    res = train.fit_scg(
+        lambda p: -rgp.elbo(cfg, p, Y, U, block=None), params, iters=60
+    )
+    e1 = float(rgp.elbo(cfg, res.params, Y, U, block=None))
+    assert e1 > e0 + 1.0, (e0, e1)
+    assert np.all(np.diff(np.asarray(res.losses)) <= 1e-9)

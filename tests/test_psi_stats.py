@@ -94,3 +94,83 @@ def test_psi_grads(rng):
 
     res = checkgrad(f, params, eps=1e-6)
     assert res.max_rel_err < 1e-5, res.max_rel_err
+
+
+# ------------------------------------------------------- additive cross terms
+
+
+def _perturb(rng, p):
+    """Randomize hyperparameters away from init defaults (stronger oracle)."""
+    return jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(rng.uniform(-0.4, 0.4, np.shape(a))), p
+    )
+
+
+@pytest.mark.parametrize(
+    "kern_fn",
+    [
+        lambda: Sum(input_dim=3, parts=(RBF(input_dim=3), Linear(input_dim=3))),
+        lambda: Sum(
+            input_dim=3,
+            parts=(RBF(input_dim=2, active_dims=(0, 1)), Linear(input_dim=2, active_dims=(1, 2))),
+        ),
+        lambda: Sum(
+            input_dim=3,
+            parts=(RBF(input_dim=2, active_dims=(0, 1)), RBF(input_dim=3, ard=False)),
+        ),
+        lambda: Sum(
+            input_dim=3,
+            parts=(Linear(input_dim=2, active_dims=(1, 2)), Linear(input_dim=3)),
+        ),
+        lambda: Sum(
+            input_dim=3,
+            parts=(RBF(input_dim=3), Linear(input_dim=3), Bias(input_dim=3)),
+        ),
+    ],
+)
+def test_cross_psi2_vs_monte_carlo(rng, kern_fn):
+    """Additive-kernel psi2 cross terms (RBFxLinear, RBFxRBF, LinearxLinear)
+    vs MC — capability the reference raises NotImplementedError for
+    (`GPy:GPy/kern/src/add.py` [M])."""
+    kern = kern_fn()
+    p = _perturb(rng, kern.init(dtype=jnp.float64))
+    mu, s, Z = _setup(rng)
+    stats = psi_statistics(kern, p, Z, mu, s, block=None)
+    p2t = psi2_per_t(kern, p, Z, mu, s)
+    mc0, mc1, mc2 = _mc_psi(kern, p, Z, mu, s, n_samples=600_000)
+    np.testing.assert_allclose(np.asarray(stats.psi0), mc0, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(stats.psi1), mc1, rtol=3e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(p2t), mc2, rtol=8e-2, atol=6e-2)
+    np.testing.assert_allclose(
+        np.asarray(stats.psi2), np.asarray(p2t).sum(0), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_cross_psi2_grads(rng):
+    kern = Sum(input_dim=2, parts=(RBF(input_dim=2), Linear(input_dim=2)))
+    mu, s, Z = _setup(rng, T=6, M=3, Q=2)
+    W2 = jnp.asarray(rng.standard_normal((3, 3)))
+    params = {"kern": kern.init(dtype=jnp.float64), "Z": Z, "mu": mu, "log_s": jnp.log(s)}
+
+    def f(q):
+        st = psi_statistics(kern, q["kern"], q["Z"], q["mu"], jnp.exp(q["log_s"]), block=None)
+        return jnp.sum(st.psi2 * W2)
+
+    res = checkgrad(f, params, eps=1e-6)
+    assert res.max_rel_err < 1e-5, res.max_rel_err
+
+
+def test_cross_psi2_s_zero_degeneration(rng):
+    """s->0: Sum-kernel psi2 must equal K(mu,Z)^T K(mu,Z) including crosses."""
+    for kern in [
+        Sum(input_dim=3, parts=(RBF(input_dim=3), Linear(input_dim=3))),
+        Sum(input_dim=3, parts=(RBF(input_dim=3, ard=False), RBF(input_dim=3))),
+    ]:
+        p = _perturb(rng, kern.init(dtype=jnp.float64))
+        mu, _, Z = _setup(rng, T=30)
+        stats = psi_statistics(kern, p, Z, mu, None, block=None)
+        K = kern.K(p, mu, Z)
+        np.testing.assert_allclose(np.asarray(stats.psi1), np.asarray(K), rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(stats.psi2), np.asarray(K.T @ K), rtol=1e-8, atol=1e-10
+        )
