@@ -74,6 +74,42 @@ def _timed_fit(cfg, params, Y, U, iters, lr, device=None):
     return p, losses, iters / dt
 
 
+def _fit_restarts(cfg, Y, U, iters, lr, seeds, dtype):
+    """vmapped multi-restart: batch the whole Adam scan over independent init
+    seeds on-chip and keep the best final ELBO (stabilizes the multimodal
+    REVARB objective's run-to-run RMSE spread; see BASELINE.md note)."""
+    import jax
+    import optax
+
+    from rgp_tpu.models import rgp
+
+    stacked = jax.tree.map(
+        lambda *xs: jax.numpy.stack(xs),
+        *[rgp.init_params(cfg, Y, U, seed=s, dtype=dtype) for s in seeds],
+    )
+    opt = optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01))
+
+    def run_one(p0):
+        state0 = opt.init(p0)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(
+                lambda q: -rgp.elbo(cfg, q, Y, U, block=None)
+            )(p)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
+        return p, losses[-1]
+
+    params_b, final_b = jax.jit(jax.vmap(run_one))(stacked)
+    best = int(jax.numpy.argmin(final_b))
+    p_best = jax.tree.map(lambda a: a[best], params_b)
+    return p_best, [float(-x) for x in final_b]
+
+
 def _device_responsive(timeout: int = 240) -> bool:
     """Probe the default backend from a SUBPROCESS with a hard timeout.
 
@@ -101,6 +137,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--cpu-iters", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--restarts", type=int, default=4,
+                    help="vmapped init seeds; best final ELBO selected for RMSE")
     ap.add_argument("--skip-cpu-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true")
     ap.add_argument("--profile", type=int, default=0, help="trace N iters to /tmp/rgp_trace")
@@ -127,6 +165,14 @@ def main():
             _timed_fit(cfg, params, Y, U, args.profile, args.lr)
 
     p_fit, losses, ips = _timed_fit(cfg, params, Y, U, args.iters, args.lr)
+
+    # multimodality control: pick the best of `restarts` vmapped seeds by final
+    # ELBO (the timed run above stays the throughput measurement)
+    finals = None
+    if args.restarts > 1 and not fallback:
+        p_fit, finals = _fit_restarts(
+            cfg, Y, U, args.iters, args.lr, range(args.restarts), jnp.float32
+        )
 
     means, _ = rgp.freerun(cfg, p_fit, Y, U, Ut)
     m = sy.inverse(np.asarray(means))
@@ -159,6 +205,7 @@ def main():
             "freerun_rmse_actuator": _num(rmse),
             "zero_predictor_rmse": _num(zero_rmse),
             "iters": args.iters,
+            "restart_final_elbos": None if finals is None else [round(x, 1) for x in finals],
         },
     }
     print(json.dumps(result))

@@ -45,7 +45,15 @@ from ..linalg import (
 from ..ops.psi_stats import PsiStats, psi01, psi2_per_t
 from ..params import positive
 
-__all__ = ["collapsed_bound", "SparsePosterior", "posterior", "predict_uncertain"]
+__all__ = [
+    "collapsed_bound",
+    "SparsePosterior",
+    "posterior",
+    "predict_uncertain",
+    "predict_certain",
+    "posterior_f_samples",
+    "log_predictive_density",
+]
 
 _LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
 
@@ -178,6 +186,71 @@ def posterior(
     W = cho_solve(Lc, eye)  # (Kmm + beta Psi2)^{-1}
     Kmm_inv = backsub_both_sides(Lm, eye, "left")
     return SparsePosterior(alpha=alpha, woodbury_inv=Kmm_inv - W, W=W)
+
+
+def predict_certain(
+    kern: Kernel,
+    kp,
+    Z,
+    log_noise,
+    post: SparsePosterior,
+    Xs,
+    *,
+    full_cov: bool = False,
+    include_noise: bool = False,
+):
+    """Sparse-posterior predictive at certain inputs Xs (any kernel).
+
+    Reference: GPy ``predict(Xnew, full_cov=)`` on a VarDTC posterior [H] —
+    mean = Kxz alpha, cov = Kxx - Kxz (Kmm^{-1} - W) Kzx. Returns
+    (mean (T*, D), var (T*, D)) or, with ``full_cov``, (mean, cov (T*, T*))
+    shared across output dims.
+    """
+    noise = positive(log_noise)
+    Kxz = kern.K(kp, Xs, Z)
+    mean = hdot(Kxz, post.alpha)
+    if full_cov:
+        Kxx = kern.K(kp, Xs)
+        cov = Kxx - hdot(Kxz, hdot(post.woodbury_inv, Kxz.T))
+        if include_noise:
+            cov = cov + noise * jnp.eye(Xs.shape[0], dtype=cov.dtype)
+        return mean, cov
+    kdiag = kern.Kdiag(kp, Xs)
+    var = kdiag - jnp.einsum("tm,mn,tn->t", Kxz, post.woodbury_inv, Kxz)
+    var = jnp.maximum(var, 1e-12)[:, None] + (noise if include_noise else 0.0)
+    return mean, jnp.broadcast_to(var, mean.shape)
+
+
+def posterior_f_samples(
+    kern: Kernel,
+    kp,
+    Z,
+    log_noise,
+    post: SparsePosterior,
+    Xs,
+    key,
+    *,
+    n_samples: int = 10,
+    include_noise: bool = False,
+):
+    """Joint samples of f* at Xs from the sparse posterior (the reference's
+    ``m.posterior_samples_f`` [H]). Returns (n_samples, T*, D)."""
+    import jax
+
+    mean, cov = predict_certain(
+        kern, kp, Z, log_noise, post, Xs, full_cov=True, include_noise=include_noise
+    )
+    L = jitchol(cov)
+    eps = jax.random.normal(key, (n_samples, Xs.shape[0], mean.shape[1]), dtype=mean.dtype)
+    return mean[None] + jnp.einsum("ts,nsd->ntd", L, eps)
+
+
+def log_predictive_density(y, mean, var):
+    """Mean Gaussian log predictive density of held-out targets (reference
+    ``m.log_predictive_density`` [H]). All args (T, D); returns a scalar."""
+    return jnp.mean(
+        -0.5 * (_LOG2PI + jnp.log(var)) - 0.5 * (y - mean) ** 2 / var
+    )
 
 
 def predict_uncertain(

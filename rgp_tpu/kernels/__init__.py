@@ -71,6 +71,26 @@ class Kernel:
     def Kdiag(self, p, X):
         raise NotImplementedError
 
+    # -- combination operators (GPy `k1 + k2`, `k1 * k2` API parity [H]) ------
+    def _dims_union(self, other: "Kernel") -> int:
+        mine = self.active_dims if self.active_dims is not None else range(self.input_dim)
+        theirs = other.active_dims if other.active_dims is not None else range(other.input_dim)
+        return max(*mine, *theirs) + 1
+
+    def __add__(self, other: "Kernel") -> "Sum":
+        if not isinstance(other, Kernel):
+            return NotImplemented
+        a = self.parts if isinstance(self, Sum) else (self,)
+        b = other.parts if isinstance(other, Sum) else (other,)
+        return Sum(input_dim=self._dims_union(other), parts=a + b)
+
+    def __mul__(self, other: "Kernel") -> "Prod":
+        if not isinstance(other, Kernel):
+            return NotImplemented
+        a = self.parts if isinstance(self, Prod) else (self,)
+        b = other.parts if isinstance(other, Prod) else (other,)
+        return Prod(input_dim=self._dims_union(other), parts=a + b)
+
 
 @dataclasses.dataclass(frozen=True)
 class RBF(Kernel):

@@ -86,8 +86,16 @@ def _posterior(cfg: SparseGPConfig, params, X, Y) -> SparsePosterior:
     )
 
 
-def predict(cfg: SparseGPConfig, params, X, Y, Xs, *, include_noise: bool = True):
+def predict(cfg: SparseGPConfig, params, X, Y, Xs, *, include_noise: bool = True,
+            full_cov: bool = False):
     post = _posterior(cfg, params, X, Y)
+    if full_cov:
+        from ..inference.collapsed_vi import predict_certain
+
+        return predict_certain(
+            cfg.kernel, params["kern"], params["Z"], params["log_noise"], post, Xs,
+            full_cov=True, include_noise=include_noise,
+        )
     return predict_uncertain(
         cfg.kernel,
         params["kern"],
@@ -97,4 +105,17 @@ def predict(cfg: SparseGPConfig, params, X, Y, Xs, *, include_noise: bool = True
         Xs,
         None,
         include_noise=include_noise,
+    )
+
+
+def posterior_samples_f(cfg: SparseGPConfig, params, X, Y, Xs, key, *,
+                        n_samples: int = 10, include_noise: bool = False):
+    """Joint posterior function samples at Xs (reference
+    ``m.posterior_samples_f`` [H]). Returns (n_samples, T*, D)."""
+    from ..inference.collapsed_vi import posterior_f_samples
+
+    post = _posterior(cfg, params, X, Y)
+    return posterior_f_samples(
+        cfg.kernel, params["kern"], params["Z"], params["log_noise"], post, Xs, key,
+        n_samples=n_samples, include_noise=include_noise,
     )

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..kernels import RBF, Bias, Kernel, Linear, Sum, White, kern_slice
+from ..kernels import RBF, Bias, Kernel, Linear, Prod, Sum, White, kern_slice
 from ..linalg import hdot
 from ..params import positive
 
@@ -168,7 +168,20 @@ def has_closed_psi(kern: Kernel) -> bool:
         return True
     if isinstance(kern, Sum):
         return all(has_closed_psi(k) for k in kern.parts)
+    if isinstance(kern, Prod):
+        # disjoint active dims: q diagonal => expectations factorize per part
+        return _prod_disjoint(kern) and all(has_closed_psi(k) for k in kern.parts)
     return False
+
+
+def _prod_disjoint(kern: Prod) -> bool:
+    seen = set()
+    for k in kern.parts:
+        dims = set(np.asarray(_active_dims(k)).tolist())
+        if seen & dims:
+            return False
+        seen |= dims
+    return True
 
 
 def psi01(kern: Kernel, p, Z, mu, s):
@@ -201,6 +214,12 @@ def psi2_per_t(kern: Kernel, p, Z, mu, s):
         total = sum(parts)
         total = total + _sum_psi2_cross(kern, p, Z, mu, s, per_t=True)
         return total
+    if isinstance(kern, Prod) and _prod_disjoint(kern):
+        out = None
+        for k, pk in zip(kern.parts, p):
+            part = psi2_per_t(k, pk, Z, mu, s)
+            out = part if out is None else out * part
+        return out
     raise NotImplementedError(f"psi2 for kernel {type(kern).__name__}")
 
 
@@ -226,6 +245,16 @@ def _psi01(kern: Kernel, p, Z, mu, s):
             p0, p1 = _psi01(k, pk, Z, mu, s)
             out0 = p0 if out0 is None else out0 + p0
             out1 = p1 if out1 is None else out1 + p1
+        return out0, out1
+    if isinstance(kern, Prod) and _prod_disjoint(kern):
+        # disjoint dims + diagonal q(x) => the expectation of the product
+        # factorizes into the product of per-part expectations (capability
+        # beyond the reference: GPy has no Prod psi statistics at all)
+        out0, out1 = None, None
+        for k, pk in zip(kern.parts, p):
+            p0, p1 = _psi01(k, pk, Z, mu, s)
+            out0 = p0 if out0 is None else out0 * p0
+            out1 = p1 if out1 is None else out1 * p1
         return out0, out1
     raise NotImplementedError(f"psi stats for kernel {type(kern).__name__}")
 
@@ -434,6 +463,10 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
             part = _psi2_sum(k, pk, Z, mu, s, block=block)
             total = part if total is None else total + part
         return total + _sum_psi2_cross(kern, p, Z, mu, s, per_t=False)
+    if isinstance(kern, Prod) and _prod_disjoint(kern):
+        return _chunked_per_t_sum(
+            lambda mu_c, s_c: psi2_per_t(kern, p, Z, mu_c, s_c), Z, mu, s, block
+        )
     if isinstance(kern, RBF):
         Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
         T = mua.shape[0]
@@ -460,6 +493,29 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
         out, _ = lax.scan(step, init, (mup, sp, maskp))
         return out
     raise NotImplementedError(f"psi2 for kernel {type(kern).__name__}")
+
+
+def _chunked_per_t_sum(per_t_fn, Z, mu, s, block):
+    """sum_t of a per-timestep (T, M, M) psi2 without materializing it:
+    scan over `block`-sized chunks with a 0/1 padding mask."""
+    T = mu.shape[0]
+    if block is None or T <= block:
+        return jnp.sum(per_t_fn(mu, s), axis=0)
+    n_chunks = -(-T // block)
+    pad = n_chunks * block - T
+    mup = jnp.pad(mu, ((0, pad), (0, 0))).reshape(n_chunks, block, -1)
+    sp = jnp.pad(s, ((0, pad), (0, 0))).reshape(n_chunks, block, -1)
+    maskp = jnp.pad(jnp.ones((T,), dtype=mu.dtype), (0, pad)).reshape(n_chunks, block)
+
+    def step(acc, inp):
+        mu_c, s_c, m_c = inp
+        chunk = jnp.sum(per_t_fn(mu_c, s_c) * m_c[:, None, None], axis=0)
+        return acc + chunk, None
+
+    M = Z.shape[0]
+    init = jnp.zeros((M, M), dtype=mu.dtype)
+    out, _ = lax.scan(step, init, (mup, sp, maskp))
+    return out
 
 
 def _rbf_psi2_masked(p, Z, mu, s, mask):

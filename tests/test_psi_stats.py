@@ -174,3 +174,74 @@ def test_cross_psi2_s_zero_degeneration(rng):
         np.testing.assert_allclose(
             np.asarray(stats.psi2), np.asarray(K.T @ K), rtol=1e-8, atol=1e-10
         )
+
+
+# ------------------------------------------------ product kernels (disjoint)
+
+
+def test_prod_disjoint_psi_vs_monte_carlo(rng):
+    """Uncertain-input psi stats for Prod kernels over disjoint active dims
+    (factorized expectations) — GPy has no Prod psi statistics at all."""
+    from rgp_tpu.kernels import Prod
+    from rgp_tpu.ops.psi_stats import has_closed_psi
+
+    kern = Prod(
+        input_dim=3,
+        parts=(RBF(input_dim=2, active_dims=(0, 1)), Linear(input_dim=1, active_dims=(2,))),
+    )
+    assert has_closed_psi(kern)
+    p = kern.init(dtype=jnp.float64)
+    mu, s, Z = _setup(rng)
+    stats = psi_statistics(kern, p, Z, mu, s, block=None)
+    p2t = psi2_per_t(kern, p, Z, mu, s)
+    mc0, mc1, mc2 = _mc_psi(kern, p, Z, mu, s, n_samples=600_000)
+    np.testing.assert_allclose(np.asarray(stats.psi0), mc0, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(stats.psi1), mc1, rtol=3e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(p2t), mc2, rtol=8e-2, atol=6e-2)
+    np.testing.assert_allclose(
+        np.asarray(stats.psi2), np.asarray(p2t).sum(0), rtol=1e-10, atol=1e-12
+    )
+    # chunked == dense
+    mu2, s2, _ = _setup(rng, T=100)
+    dense = psi_statistics(kern, p, Z, mu2, s2, block=None).psi2
+    chunked = psi_statistics(kern, p, Z, mu2, s2, block=32).psi2
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), rtol=1e-10)
+
+
+def test_prod_overlapping_dims_not_closed(rng):
+    from rgp_tpu.kernels import Prod
+    from rgp_tpu.ops.psi_stats import has_closed_psi
+
+    kern = Prod(input_dim=3, parts=(RBF(input_dim=3), Linear(input_dim=3)))
+    assert not has_closed_psi(kern)
+    p = kern.init(dtype=jnp.float64)
+    mu, s, Z = _setup(rng)
+    with pytest.raises(NotImplementedError):
+        psi_statistics(kern, p, Z, mu, s, block=None)
+    # but certain inputs fall back to the K path
+    st = psi_statistics(kern, p, Z, mu, None, block=None)
+    K = kern.K(p, mu, Z)
+    np.testing.assert_allclose(np.asarray(st.psi1), np.asarray(K), rtol=1e-12)
+
+
+def test_kernel_operators(rng):
+    """GPy-style `k1 + k2`, `k1 * k2` construction."""
+    from rgp_tpu.kernels import Prod
+
+    ka = RBF(input_dim=2, active_dims=(0, 1))
+    kb = Linear(input_dim=1, active_dims=(2,))
+    ks = ka + kb
+    kp = ka * kb
+    assert isinstance(ks, Sum) and ks.parts == (ka, kb) and ks.input_dim == 3
+    assert isinstance(kp, Prod) and kp.parts == (ka, kb) and kp.input_dim == 3
+    # nested flattening
+    kc = Bias(input_dim=3)
+    assert len((ks + kc).parts) == 3
+    assert len((kp * kc).parts) == 3
+    X = jnp.asarray(rng.standard_normal((6, 3)))
+    ps = ks.init(dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(ks.K(ps, X)),
+        np.asarray(ka.K(ps[0], X) + kb.K(ps[1], X)),
+        rtol=1e-12,
+    )

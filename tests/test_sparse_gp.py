@@ -5,6 +5,7 @@ import numpy as np
 
 from rgp_tpu.kernels import RBF
 from rgp_tpu.models import gp, sparse_gp
+from rgp_tpu.params import np_positive_inv
 from rgp_tpu.utils.checkgrad import checkgrad
 
 
@@ -72,3 +73,55 @@ def test_sparse_predict_matches_exact_at_z_eq_x(rng):
     em, ev = gp.predict(gcfg, gparams, X, Y, Xs, include_noise=True)
     np.testing.assert_allclose(np.asarray(sm), np.asarray(em), atol=2e-4)
     np.testing.assert_allclose(np.asarray(sv), np.asarray(ev)[:, None], rtol=1e-3, atol=2e-4)
+
+
+def test_full_cov_predict_and_samples_match_exact_at_z_eq_x(rng):
+    """full_cov sparse predictive == exact GP predictive covariance at Z = X;
+    posterior samples reproduce the predictive moments; log predictive density
+    matches the direct Gaussian formula (reference GPy API parity)."""
+    import jax
+
+    from rgp_tpu.inference.collapsed_vi import log_predictive_density
+    from rgp_tpu.models import gp
+
+    X = jnp.asarray(rng.standard_normal((25, 2)))
+    Y = jnp.asarray(rng.standard_normal((25, 1)))
+    Xs = jnp.asarray(rng.standard_normal((7, 2)))
+    kern = RBF(input_dim=2)
+
+    scfg = sparse_gp.SparseGPConfig(kernel=kern, num_inducing=25)
+    sp = {"kern": kern.init(dtype=jnp.float64), "Z": X,
+          "log_noise": np_positive_inv(0.1, jnp.float64)}
+    gcfg = gp.GPConfig(kernel=kern)
+    gpar = {"kern": sp["kern"], "log_noise": sp["log_noise"]}
+
+    ms, cov_s = sparse_gp.predict(scfg, sp, X, Y, Xs, full_cov=True, include_noise=False)
+    me, cov_e = gp.predict(gcfg, gpar, X, Y, Xs, full_cov=True, include_noise=False)
+    # Z = X equivalence holds up to the jitter regularization (same bound as
+    # test_sparse_predict_matches_exact_at_z_eq_x)
+    np.testing.assert_allclose(np.asarray(ms), np.asarray(me), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_e), atol=2e-3)
+
+    # diag of full_cov == marginal var path
+    _, var_s = sparse_gp.predict(scfg, sp, X, Y, Xs, include_noise=False)
+    np.testing.assert_allclose(np.diag(np.asarray(cov_s)), np.asarray(var_s)[:, 0],
+                               rtol=1e-5, atol=1e-7)
+
+    # sample moments reproduce (mean, cov)
+    samples = sparse_gp.posterior_samples_f(
+        scfg, sp, X, Y, Xs, jax.random.PRNGKey(0), n_samples=4000
+    )
+    samp = np.asarray(samples)[:, :, 0]
+    np.testing.assert_allclose(samp.mean(0), np.asarray(ms)[:, 0], atol=0.1)
+    emp_cov = np.cov(samp.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov_s), atol=0.1)
+
+    # log predictive density against the direct formula
+    ys = jnp.asarray(rng.standard_normal((7, 1)))
+    mm, vv = sparse_gp.predict(scfg, sp, X, Y, Xs, include_noise=True)
+    lpd = float(log_predictive_density(ys, mm, vv))
+    direct = np.mean(
+        -0.5 * np.log(2 * np.pi * np.asarray(vv))
+        - 0.5 * (np.asarray(ys) - np.asarray(mm)) ** 2 / np.asarray(vv)
+    )
+    np.testing.assert_allclose(lpd, direct, rtol=1e-10)
