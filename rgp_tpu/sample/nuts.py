@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["nuts_sample", "NUTSResult"]
+__all__ = [
+    "nuts_sample",
+    "NUTSResult",
+    "NUTSCarry",
+    "nuts_init",
+    "nuts_warmup",
+    "nuts_draw",
+]
 
 _DIVERGENCE = 1000.0
 
@@ -325,32 +332,62 @@ def _da_update(state: _DAState, accept_stat, target):
 # ------------------------------------------------------------------ sampler
 
 
-def nuts_sample(
-    potential_fn: Callable,
-    z0,
-    key,
-    *,
-    n_samples: int = 500,
-    n_warmup: int = 300,
-    max_depth: int = 8,
-    step_size: float = 0.1,
-    target_accept: float = 0.8,
-    n_chains: int = 1,
-    adapt_mass: bool = True,
-    chain_axis: Optional[str] = None,
-) -> NUTSResult:
-    """Run NUTS with dual-averaging warmup.
+class NUTSCarry(NamedTuple):
+    """Complete, checkpointable sampler state (SURVEY.md S5.3: save with orbax
+    mid-warmup, restore, and the continuation is IDENTICAL to an uninterrupted
+    run — per-step randomness is derived as fold_in(key, step), never from a
+    pre-split stream, so segmentation cannot change it)."""
 
-    ``z0``: (dim,) or (n_chains, dim). ``chain_axis``: when running inside
-    ``shard_map`` with chains sharded over a mesh axis, pass its name — the
-    dual-averaging accept statistic and mass estimates are then psum-averaged
-    across ALL chains so every device adapts identically (BASELINE.json:5).
-    """
+    zs: jnp.ndarray  # (n_chains, dim) current positions
+    da: _DAState  # dual-averaging state
+    welford: tuple  # (mean, m2, count) pooled mass estimator
+    mass_inv: jnp.ndarray  # (dim,) diagonal inverse mass
+    step: jnp.ndarray  # global step index (warmup steps then draws)
+
+
+def _step_keys(key, i, n_chains):
+    """Per-(step, chain) keys from fold_in — identical regardless of how the
+    run is segmented (the resume-determinism contract)."""
+    return jax.random.split(jax.random.fold_in(key, i), n_chains)
+
+
+def nuts_init(z0, *, n_chains: int = 1, step_size: float = 0.1) -> NUTSCarry:
     z0 = jnp.atleast_2d(z0)
     if z0.shape[0] != n_chains:
         z0 = jnp.broadcast_to(z0, (n_chains, z0.shape[-1]))
     dim = z0.shape[-1]
+    return NUTSCarry(
+        zs=z0,
+        da=_da_init(jnp.asarray(step_size, z0.dtype)),
+        welford=(
+            jnp.zeros(dim, z0.dtype),
+            jnp.zeros(dim, z0.dtype),
+            jnp.asarray(0.0, z0.dtype),
+        ),
+        mass_inv=jnp.ones(dim, z0.dtype),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def nuts_warmup(
+    potential_fn: Callable,
+    carry: NUTSCarry,
+    key,
+    n_steps: int,
+    *,
+    n_warmup: int,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+    chain_axis: Optional[str] = None,
+) -> NUTSCarry:
+    """Advance ``n_steps`` warmup steps from ``carry`` (dual averaging +
+    pooled-Welford mass estimation). ``n_warmup`` is the TOTAL warmup length —
+    it fixes the adaptation schedule (middle window [0.15, 0.9)·n_warmup) and
+    must be the same across segments of one run."""
     grad_fn = jax.grad(potential_fn)
+    mid_lo, mid_hi = int(0.15 * n_warmup), int(0.9 * n_warmup)
+    n_chains = carry.zs.shape[0]
 
     def _mean_over_chains(x):
         m = jnp.mean(x)
@@ -364,15 +401,9 @@ def nuts_sample(
             m = lax.pmean(m, chain_axis)
         return m
 
-    # ---- warmup: dual averaging + Welford mass estimation
-    mass_inv0 = jnp.ones(dim, z0.dtype)
-    da0 = _da_init(jnp.asarray(step_size, z0.dtype))
-    welford0 = (jnp.zeros(dim, z0.dtype), jnp.zeros(dim, z0.dtype), jnp.asarray(0.0, z0.dtype))
-    mid_lo, mid_hi = int(0.15 * n_warmup), int(0.9 * n_warmup)
-
-    def warmup_step(carry, inp):
-        zs, da, welford, mass_inv = carry
-        i, keys = inp
+    def warmup_step(c: NUTSCarry, _):
+        zs, da, welford, mass_inv, i = c
+        keys = _step_keys(key, i, n_chains)
         eps = jnp.exp(da.log_eps)
         zP, UP, acc, div = jax.vmap(
             lambda zc, kc: _nuts_transition(
@@ -416,34 +447,87 @@ def nuts_sample(
         da = jax.tree.map(
             lambda a, b: jnp.where(at_switch, a, b), da_reset, da
         )
-        return (zP, da, welford, mass_inv), None
+        return NUTSCarry(zP, da, welford, mass_inv, i + 1), None
 
-    keys = jax.random.split(key, (n_warmup + n_samples + 1) * n_chains).reshape(
-        n_warmup + n_samples + 1, n_chains, 2
-    )
-    carry = (z0, da0, welford0, mass_inv0)
-    if n_warmup > 0:
-        carry, _ = lax.scan(
-            warmup_step, carry, (jnp.arange(n_warmup), keys[:n_warmup])
-        )
-    zs, da, _, mass_inv = carry
-    eps_final = jnp.exp(da.log_eps_avg)
+    if n_steps > 0:
+        carry, _ = lax.scan(warmup_step, carry, None, length=n_steps)
+    return carry
 
-    # ---- sampling
-    def sample_step(zs, keys):
+
+def nuts_draw(
+    potential_fn: Callable,
+    carry: NUTSCarry,
+    key,
+    n_samples: int,
+    *,
+    max_depth: int = 8,
+    chain_axis: Optional[str] = None,
+) -> tuple:
+    """Draw ``n_samples`` post-warmup samples, continuing ``carry`` (resumable:
+    the step counter keeps advancing, so draws are segmentation-invariant).
+    Returns (carry, NUTSResult)."""
+    del chain_axis  # no cross-chain communication after adaptation
+    grad_fn = jax.grad(potential_fn)
+    n_chains = carry.zs.shape[0]
+    eps_final = jnp.exp(carry.da.log_eps_avg)
+    mass_inv = carry.mass_inv
+
+    def sample_step(c, _):
+        zs, i = c
+        keys = _step_keys(key, i, n_chains)
         zP, UP, acc, div = jax.vmap(
             lambda zc, kc: _nuts_transition(
                 potential_fn, grad_fn, zc, kc, eps_final, mass_inv, max_depth
             )
         )(zs, keys)
-        return zP, (zP, UP, acc, div)
+        return (zP, i + 1), (zP, UP, acc, div)
 
-    _, (samples, Us, accs, divs) = lax.scan(
-        sample_step, zs, keys[n_warmup : n_warmup + n_samples]
+    (zs, step), (samples, Us, accs, divs) = lax.scan(
+        sample_step, (carry.zs, carry.step), None, length=n_samples
     )
+    carry = carry._replace(zs=zs, step=step)
     # (n_samples, n_chains, ...) -> (n_chains, n_samples, ...)
-    samples = jnp.swapaxes(samples, 0, 1)
-    Us = jnp.swapaxes(Us, 0, 1)
-    accs = jnp.swapaxes(accs, 0, 1)
-    divs = jnp.swapaxes(divs, 0, 1)
-    return NUTSResult(samples, Us, accs, divs, eps_final, mass_inv)
+    res = NUTSResult(
+        jnp.swapaxes(samples, 0, 1),
+        jnp.swapaxes(Us, 0, 1),
+        jnp.swapaxes(accs, 0, 1),
+        jnp.swapaxes(divs, 0, 1),
+        eps_final,
+        mass_inv,
+    )
+    return carry, res
+
+
+def nuts_sample(
+    potential_fn: Callable,
+    z0,
+    key,
+    *,
+    n_samples: int = 500,
+    n_warmup: int = 300,
+    max_depth: int = 8,
+    step_size: float = 0.1,
+    target_accept: float = 0.8,
+    n_chains: int = 1,
+    adapt_mass: bool = True,
+    chain_axis: Optional[str] = None,
+) -> NUTSResult:
+    """Run NUTS with dual-averaging warmup (one-shot driver over
+    :func:`nuts_init` → :func:`nuts_warmup` → :func:`nuts_draw`).
+
+    ``z0``: (dim,) or (n_chains, dim). ``chain_axis``: when running inside
+    ``shard_map`` with chains sharded over a mesh axis, pass its name — the
+    dual-averaging accept statistic and mass estimates are then psum-averaged
+    across ALL chains so every device adapts identically (BASELINE.json:5).
+    """
+    carry = nuts_init(z0, n_chains=n_chains, step_size=step_size)
+    carry = nuts_warmup(
+        potential_fn, carry, key, n_warmup,
+        n_warmup=n_warmup, max_depth=max_depth, target_accept=target_accept,
+        adapt_mass=adapt_mass, chain_axis=chain_axis,
+    )
+    _, res = nuts_draw(
+        potential_fn, carry, key, n_samples,
+        max_depth=max_depth, chain_axis=chain_axis,
+    )
+    return res
