@@ -38,6 +38,7 @@ __all__ = [
     "make_rgp_potential",
     "sample_nuts",
     "sample_hmc",
+    "sample_tempered",
     "nuts_sharded",
     "smc",
 ]
@@ -111,6 +112,54 @@ def sample_hmc(cfg, params, Y, U, key, *, prior_std: float = 3.0, **hmc_kw):
     """Reference-parity vanilla HMC over RGP hyperparameters (S3.5)."""
     potential, flat0, _ = make_rgp_potential(cfg, params, Y, U, prior_std=prior_std)
     return hmc_sample(potential, flat0, jnp.asarray(key), **hmc_kw)
+
+
+def sample_tempered(
+    cfg,
+    params,
+    Y,
+    U,
+    key,
+    *,
+    n_particles: int = 512,
+    prior_std: float = 3.0,
+    center_on_fit: bool = True,
+    **tsmc_kw,
+):
+    """Adaptive-tempering SMC from the hyperparameter prior to the (ELBO-
+    surrogate) posterior, returning posterior particles AND a log-evidence
+    estimate log Z = log E_prior[exp(ELBO)] for model comparison (SURVEY.md
+    A.5 "optional tempering for the marginal-likelihood estimate").
+
+    ``center_on_fit``: center the N(., prior_std^2) prior on the fitted
+    unconstrained hyperparameters (recommended — the pure zero-centered prior
+    wastes most particles in regions where the ELBO is astronomically low).
+    """
+    from .tempered import smc_tempered
+
+    hyper0 = split_hypers(params)
+    flat0, unravel = ravel(hyper0)
+    Y = jnp.asarray(Y)
+    U = jnp.asarray(U)
+    mu0 = flat0 if center_on_fit else jnp.zeros_like(flat0)
+    dim = flat0.shape[0]
+
+    def log_prior(v):
+        return -0.5 * jnp.sum(((v - mu0) / prior_std) ** 2) - 0.5 * dim * jnp.log(
+            2.0 * jnp.pi * prior_std**2
+        )
+
+    def log_lik(v):
+        p = merge_hypers(params, unravel(v))
+        return rgp.elbo(cfg, p, Y, U, block=None)
+
+    def init_sample(k, N):
+        return mu0[None, :] + prior_std * jax.random.normal(k, (N, dim), flat0.dtype)
+
+    res = smc_tempered(
+        log_prior, log_lik, init_sample, jnp.asarray(key), n_particles, **tsmc_kw
+    )
+    return res, unravel
 
 
 def nuts_sharded(

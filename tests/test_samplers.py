@@ -176,3 +176,57 @@ def test_systematic_resample_properties():
     # systematic resampling: counts within 1 of N*w
     expected = 4 * np.exp(np.asarray(log_w) - 0)
     assert np.all(np.abs(counts - expected) <= 1)
+
+
+# ---------------------------------------------------------- tempered SMC
+
+
+def test_tempered_smc_conjugate_gaussian_evidence(rng):
+    """Adaptive-tempering SMC (SURVEY.md A.5 'optional tempering'): on a
+    conjugate Gaussian model the log-marginal estimate must match the
+    analytic evidence and the particles the analytic posterior moments."""
+    import scipy.stats
+
+    from rgp_tpu.sample.tempered import smc_tempered
+
+    D, n_obs, sigma = 2, 10, 0.7
+    y = rng.standard_normal((n_obs, D)) * 0.9 + 0.4  # arbitrary data
+
+    yj = jnp.asarray(y)
+
+    def log_prior(th):
+        return -0.5 * jnp.sum(th * th) - 0.5 * D * jnp.log(2 * jnp.pi)
+
+    def log_lik(th):
+        return jnp.sum(
+            -0.5 * ((yj - th) / sigma) ** 2 - 0.5 * jnp.log(2 * jnp.pi * sigma**2)
+        )
+
+    def init_sample(key, N):
+        return jax.random.normal(key, (N, D), jnp.float64)
+
+    res = smc_tempered(
+        log_prior, log_lik, init_sample, jax.random.PRNGKey(0), 4096,
+        ess_target=0.6, n_moves=4, step_scale=0.6,
+    )
+
+    # analytic: per dim, y_vec ~ N(0, sigma^2 I + 1 1^T)
+    cov = sigma**2 * np.eye(n_obs) + np.ones((n_obs, n_obs))
+    logZ_true = sum(
+        scipy.stats.multivariate_normal(mean=np.zeros(n_obs), cov=cov).logpdf(y[:, d])
+        for d in range(D)
+    )
+    assert np.isfinite(float(res.log_Z))
+    np.testing.assert_allclose(float(res.log_Z), logZ_true, atol=0.15)
+
+    tau2 = 1.0 / (1.0 + n_obs / sigma**2)
+    mu_post = tau2 * y.sum(0) / sigma**2
+    parts = np.asarray(res.particles)
+    np.testing.assert_allclose(parts.mean(0), mu_post, atol=0.02)
+    np.testing.assert_allclose(parts.var(0), tau2, rtol=0.25)
+
+    ns = int(res.n_stages)
+    assert 1 <= ns <= 50
+    betas = np.asarray(res.betas)[:ns]
+    assert betas[-1] == 1.0 and np.all(np.diff(np.concatenate([[0.0], betas])) > 0)
+    assert 0.1 < float(res.accept_rate) <= 1.0

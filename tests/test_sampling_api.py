@@ -91,3 +91,30 @@ def test_nuts_sharded_chains():
     np.testing.assert_allclose(np.cov(s.T), cov, atol=0.4)
     # step size is shared (replicated scalar)
     assert np.asarray(res.step_size).ndim == 0 or np.asarray(res.step_size).size == 1
+
+
+def test_sample_tempered_on_rgp():
+    """Tempered SMC over RGP hyperparameters: finite evidence, particles
+    concentrate near (and improve on) the fitted hypers' ELBO region."""
+    from rgp_tpu.sample.api import sample_tempered
+
+    cfg, params, Y, U, _, _ = _trained_model()
+    res, unravel = sample_tempered(
+        cfg, params, Y, U, jax.random.PRNGKey(0),
+        n_particles=64, prior_std=0.5, n_moves=2, max_stages=20,
+    )
+    assert np.isfinite(float(res.log_Z))
+    assert 1 <= int(res.n_stages) <= 20
+    parts = np.asarray(res.particles)
+    assert np.all(np.isfinite(parts))
+    # posterior particle ELBO should not collapse below the prior-mean ELBO
+    from rgp_tpu.models import rgp as rgp_mod
+    from rgp_tpu.sample.api import merge_hypers
+
+    e_fit = float(rgp_mod.elbo(cfg, params, Y, U, block=None))
+    e_mean = float(
+        rgp_mod.elbo(
+            cfg, merge_hypers(params, unravel(jnp.asarray(parts.mean(0)))), Y, U, block=None
+        )
+    )
+    assert e_mean > e_fit - 50.0, (e_mean, e_fit)
