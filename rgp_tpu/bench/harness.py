@@ -25,6 +25,7 @@ from .. import train
 from ..data import datasets
 from ..data.windows import Standardizer
 from ..kernels import RBF
+from ..kernels import Matern52 as _matern52
 from ..models import gp_narx, rgp
 
 __all__ = ["TASKS", "METHODS", "run", "main"]
@@ -33,6 +34,9 @@ TASKS: Dict[str, Callable] = {
     "actuator": datasets.actuator,
     "drives": datasets.drives,
     "narendra": datasets.narendra,
+    "ballbeam": datasets.ballbeam,
+    "dryer": datasets.dryer,
+    "gas_furnace": datasets.gas_furnace,
     "long_corpus": datasets.long_corpus,
 }
 
@@ -61,8 +65,9 @@ def _prepare(task: str, dtype=jnp.float32, **task_kw) -> _Prepared:
 # ------------------------------------------------------------------ methods
 
 
-def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int):
-    cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=15), num_inducing=M, y_win=10, u_win=5)
+def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int,
+                    kernel_cls=RBF, moment_match: bool = True):
+    cfg = gp_narx.NARXConfig(kernel=kernel_cls(input_dim=15), num_inducing=M, y_win=10, u_win=5)
     params = gp_narx.init_params(cfg, prep.Y, prep.U, noise=0.1, seed=seed)
     import optax
 
@@ -70,7 +75,8 @@ def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int):
         lambda p: -gp_narx.elbo(cfg, p, prep.Y, prep.U), params,
         iters=iters, optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
     )
-    m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test, y_init=prep.Y[-10:])
+    m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test,
+                           y_init=prep.Y[-10:], moment_match=moment_match)
     return res, m, v
 
 
@@ -96,6 +102,11 @@ METHODS: Dict[str, Callable] = {
     "rgp2": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 6, 6]),
     "rgp2_mlp": lambda prep, iters, lr, seed, M: _method_rgp(
         prep, iters, lr, seed, M, [0, 6, 6], back_cstr=True, mlp=(32,)
+    ),
+    # Matern-5/2 GP-NARX (generic certain-input psi path; freerun plugs in
+    # means only — no closed-form moment matching for Matern)
+    "gp_narx_matern": lambda prep, iters, lr, seed, M: _method_gp_narx(
+        prep, iters, lr, seed, M, kernel_cls=_matern52, moment_match=False
     ),
 }
 

@@ -19,6 +19,11 @@ Systems:
   with input cross-terms; T=500, split 250/250 (matching the Drives demo scale).
 * ``narendra``  — Narendra & Parthasarathy (1990) example:
   x_{k+1} = x_k / (1 + x_k^2) + u_k^3, y = x.
+* ``ballbeam`` — ball-and-beam position control analogue (DaISy 96-004):
+  marginally stable double integrator with friction + soft limits.
+* ``dryer``    — hair-dryer thermal system analogue (DaISy 96-006): first-order
+  heat dynamics with transport delay, telegraph heater input.
+* ``gas_furnace`` — Box-Jenkins gas furnace analogue (T=296, the original length).
 * ``long_corpus`` — long multisine-driven sequence for throughput/minibatch
   benchmarks (config 4, BASELINE.json:10).
 """
@@ -29,7 +34,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["SysIdData", "actuator", "drives", "narendra", "long_corpus", "load"]
+__all__ = ["SysIdData", "actuator", "drives", "narendra", "ballbeam", "dryer", "gas_furnace", "long_corpus", "load"]
 
 
 class SysIdData(NamedTuple):
@@ -106,6 +111,65 @@ def narendra(T: int = 600, seed: int = 3, noise: float = 0.0) -> SysIdData:
     return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "narendra")
 
 
+def ballbeam(T: int = 1000, seed: int = 5, noise: float = 0.01) -> SysIdData:
+    """Ball-and-beam-like SISO system (DaISy 96-004 analogue): the ball
+    position integrates the beam-angle-driven acceleration — a marginally
+    stable double-integrator with rolling friction and a soft position limit,
+    driven by a low-frequency multisine beam angle."""
+    rng = np.random.default_rng(seed)
+    u = _multisine(rng, T, n_sin=6, fmax=0.03)
+    u = u / (np.abs(u).max() + 1e-12) * 0.4
+    y = np.zeros(T)  # position
+    v = 0.0  # velocity
+    for k in range(1, T):
+        acc = 5.0 * np.sin(u[k - 1]) - 0.3 * v - 0.8 * np.tanh(2.0 * y[k - 1])
+        v = 0.97 * v + 0.05 * acc
+        y[k] = y[k - 1] + 0.05 * v + noise * rng.standard_normal()
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "ballbeam")
+
+
+def dryer(T: int = 1000, seed: int = 13, noise: float = 0.02) -> SysIdData:
+    """Hair-dryer-like SISO thermal system (DaISy 96-006 analogue): first-order
+    heat dynamics with transport delay and a mild flow-dependent gain,
+    heater-voltage input as a random telegraph signal."""
+    rng = np.random.default_rng(seed)
+    u = 0.5 * (_telegraph(rng, T, p_switch=0.05) + 1.2)
+    y = np.zeros(T)
+    for k in range(3, T):
+        gain = 0.9 + 0.2 * np.tanh(u[k - 3])
+        y[k] = (
+            0.85 * y[k - 1]
+            + 0.06 * y[k - 2]
+            + gain * 0.45 * u[k - 2]
+            - 0.1 * u[k - 3]
+            + noise * rng.standard_normal()
+        )
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "dryer")
+
+
+def gas_furnace(T: int = 296, seed: int = 17, noise: float = 0.05) -> SysIdData:
+    """Box-Jenkins gas-furnace analogue (CO2 concentration from methane feed):
+    second-order dynamics with delayed input and saturating response, at the
+    original series' length (296 samples)."""
+    rng = np.random.default_rng(seed)
+    u = _multisine(rng, T, n_sin=5, fmax=0.06)
+    u = u / (np.abs(u).max() + 1e-12)
+    y = np.zeros(T)
+    for k in range(4, T):
+        y[k] = (
+            1.2 * y[k - 1]
+            - 0.45 * y[k - 2]
+            - 0.6 * np.tanh(u[k - 3])
+            - 0.25 * u[k - 4]
+            + 0.05 * y[k - 1] * u[k - 3]
+            + noise * rng.standard_normal()
+        )
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "gas_furnace")
+
+
 def long_corpus(T: int = 16384, seed: int = 23, noise: float = 0.05) -> SysIdData:
     """Long sequence for minibatch/data-parallel throughput (config 4)."""
     rng = np.random.default_rng(seed)
@@ -127,6 +191,9 @@ _REGISTRY = {
     "actuator": actuator,
     "drives": drives,
     "narendra": narendra,
+    "ballbeam": ballbeam,
+    "dryer": dryer,
+    "gas_furnace": gas_furnace,
     "long_corpus": long_corpus,
 }
 

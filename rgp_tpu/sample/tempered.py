@@ -36,11 +36,26 @@ class TemperedSMCResult(NamedTuple):
     betas: jnp.ndarray  # (max_stages,) schedule, padded with 1.0
     n_stages: jnp.ndarray  # number of tempering stages actually used
     accept_rate: jnp.ndarray  # mean MH acceptance over stages/moves
+    beta_final: jnp.ndarray  # last temperature reached; < 1 means max_stages
+    #   truncated the anneal and log_Z only covers the prefix to beta_final
 
 
 def _ess_from_logw(log_w):
     log_w = log_w - jax.scipy.special.logsumexp(log_w)
     return jnp.exp(-jax.scipy.special.logsumexp(2.0 * log_w))
+
+
+def _sanitize_logL(logL):
+    """A non-finite log likelihood (failed Cholesky at extreme hyperparameters
+    in f32, SURVEY.md S7 hard-part 1) means the particle has zero target
+    density: map NaN/+inf to -inf so it gets zero weight instead of poisoning
+    every logsumexp downstream."""
+    return jnp.where(jnp.isfinite(logL), logL, -jnp.inf)
+
+
+def _incr_logw(delta_beta, logL):
+    """delta_beta * logL with the 0 * (-inf) -> NaN corner pinned to -inf."""
+    return jnp.where(jnp.isneginf(logL), -jnp.inf, delta_beta * logL)
 
 
 def _next_beta(beta, logL, n_particles, ess_target, n_bisect: int = 40):
@@ -49,7 +64,7 @@ def _next_beta(beta, logL, n_particles, ess_target, n_bisect: int = 40):
     target = ess_target * n_particles
 
     def ess_at(b):
-        return _ess_from_logw((b - beta) * logL)
+        return _ess_from_logw(_incr_logw(b - beta, logL))
 
     def body(_, ab):
         lo, hi = ab
@@ -83,7 +98,7 @@ def smc_tempered(
     parts0 = init_sample(k_init, n_particles)
     D = parts0.shape[-1]
     dtype = parts0.dtype
-    logL0 = jax.vmap(log_likelihood)(parts0)
+    logL0 = _sanitize_logL(jax.vmap(log_likelihood)(parts0))
     logP0 = jax.vmap(log_prior)(parts0)
 
     def mh_stage(parts, logL, logP, beta, k, n_total):
@@ -96,9 +111,15 @@ def smc_tempered(
             k_prop, k_u = jax.random.split(km)
             eps = jax.random.normal(k_prop, parts.shape, dtype)
             prop = parts + step_scale * std * eps
-            logL_p = jax.vmap(log_likelihood)(prop)
+            logL_p = _sanitize_logL(jax.vmap(log_likelihood)(prop))
             logP_p = jax.vmap(log_prior)(prop)
-            log_alpha = (logP_p + beta * logL_p) - (logP + beta * logL)
+            log_alpha = (logP_p + _incr_logw(beta, logL_p)) - (
+                logP + _incr_logw(beta, logL)
+            )
+            # current particle at -inf: always escape to any finite proposal
+            log_alpha = jnp.where(
+                jnp.isneginf(logL) & jnp.isfinite(logL_p), jnp.inf, log_alpha
+            )
             u = jnp.log(jax.random.uniform(k_u, (n_particles,), dtype))
             accept = u < log_alpha
             parts = jnp.where(accept[:, None], prop, parts)
@@ -121,7 +142,7 @@ def smc_tempered(
         k_res, k_mh = jax.random.split(k_stage)
 
         beta_new = _next_beta(beta, logL, n_particles, ess_target)
-        log_w = (beta_new - beta) * logL
+        log_w = _incr_logw(beta_new - beta, logL)
         # unbiased increment: log mean of incremental weights
         log_Z = log_Z + jax.scipy.special.logsumexp(log_w) - jnp.log(
             jnp.asarray(float(n_particles), dtype)
@@ -148,4 +169,4 @@ def smc_tempered(
         cond, body, state0
     )
     acc_rate = acc_sum / jnp.maximum(n_stages.astype(dtype), 1.0)
-    return TemperedSMCResult(parts, log_Z, betas, n_stages, acc_rate)
+    return TemperedSMCResult(parts, log_Z, betas, n_stages, acc_rate, beta)

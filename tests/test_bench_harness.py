@@ -1,0 +1,34 @@
+"""Benchmark-harness smoke tests: task x method registry over the DaISy-style
+dataset family (SURVEY.md S2.1 'Benchmark harness')."""
+
+import numpy as np
+
+from rgp_tpu.bench import harness
+from rgp_tpu.data import datasets
+
+
+def test_all_datasets_finite_and_deterministic():
+    for name in ["actuator", "drives", "narendra", "ballbeam", "dryer", "gas_furnace"]:
+        a = datasets.load(name)
+        b = datasets.load(name)
+        for x, y in zip(a[:4], b[:4]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert all(np.isfinite(np.asarray(x)).all() for x in a[:4]), name
+        assert a.u_train.ndim == a.y_train.ndim == 2, name
+        # reasonably scaled signals (difference equations must be stable)
+        assert np.abs(a.y_train).max() < 100, name
+
+
+def test_registry_covers_new_tasks_and_methods():
+    for t in ["ballbeam", "dryer", "gas_furnace"]:
+        assert t in harness.TASKS
+    assert "gp_narx_matern" in harness.METHODS
+
+
+def test_harness_run_smoke():
+    out = harness.run("gas_furnace", "gp_narx", iters=30, num_inducing=8)
+    assert np.isfinite(out["freerun_rmse"]) and out["elbo_last"] > out["elbo_first"]
+    out2 = harness.run("ballbeam", "gp_narx_matern", iters=30, num_inducing=8)
+    assert np.isfinite(out2["freerun_rmse"])
+    # free simulation should at least beat the zero predictor after a tiny fit
+    assert out2["freerun_rmse"] < 5 * out2["zero_predictor_rmse"]

@@ -230,3 +230,20 @@ def test_tempered_smc_conjugate_gaussian_evidence(rng):
     betas = np.asarray(res.betas)[:ns]
     assert betas[-1] == 1.0 and np.all(np.diff(np.concatenate([[0.0], betas])) > 0)
     assert 0.1 < float(res.accept_rate) <= 1.0
+
+
+def test_tempered_smc_reports_truncation():
+    from rgp_tpu.sample.tempered import smc_tempered
+
+    def log_prior(th):
+        return -0.5 * jnp.sum(th * th)
+
+    def log_lik(th):
+        return -5000.0 * jnp.sum((th - 3.0) ** 2)  # extremely peaked: slow anneal
+
+    res = smc_tempered(
+        log_prior, log_lik,
+        lambda k, N: jax.random.normal(k, (N, 2), jnp.float64),
+        jax.random.PRNGKey(0), 128, max_stages=3,
+    )
+    assert int(res.n_stages) == 3 and float(res.beta_final) < 1.0
