@@ -105,9 +105,22 @@ def _fit_restarts(cfg, Y, U, iters, lr, seeds, dtype):
         return p, losses[-1]
 
     params_b, final_b = jax.jit(jax.vmap(run_one))(stacked)
-    best = int(jax.numpy.argmin(final_b))
+    # degeneracy guard: a collapsed hidden-layer noise / q(X) variance channel
+    # (the classic REVARB failure mode) inflates the f32 ELBO to absurd values
+    # while wrecking closed-loop rollout; exclude such restarts from selection
+    from rgp_tpu.params import positive
+
+    jnp_ = jax.numpy
+    elbos = -final_b
+    ok = jnp_.ones_like(elbos, dtype=bool)
+    for h in range(len(cfg.layers)):
+        lp = jax.tree.map(lambda a: a, params_b["layers"][h])
+        ok &= positive(lp["log_noise"]).reshape(-1) > 1e-4
+        ok &= jnp_.exp(lp["log_lam"]).mean(axis=(1, 2)) > 1e-4
+    score = jnp_.where(ok, elbos, -jnp_.inf)
+    best = int(jnp_.argmax(jnp_.where(jnp_.any(ok), score, elbos)))
     p_best = jax.tree.map(lambda a: a[best], params_b)
-    return p_best, [float(-x) for x in final_b]
+    return p_best, [float(x) for x in elbos]
 
 
 def _device_responsive(timeout: int = 240) -> bool:

@@ -61,11 +61,16 @@ def jitchol_with_jitter(A, jitter0: float = 1e-6, max_tries: int = 8):
     """Cholesky with escalating-jitter retry (reference ``jitchol`` [H]).
 
     LAPACK raises on indefinite input; XLA instead returns NaN rows. Phase 1
-    (under ``stop_gradient``, since ``while_loop`` has no reverse rule) finds,
-    per batch element, the smallest jitter in the 10x escalation schedule whose
-    factorization succeeds; phase 2 performs ONE differentiable Cholesky at
-    that level, so gradients flow through XLA's built-in Cholesky JVP/VJP.
-    Jitter is scaled by mean(diag(A)) like the reference.
+    (under ``stop_gradient``) tries jitter0 once and on failure escalates to a
+    single rescue rung; phase 2 performs ONE differentiable Cholesky at the
+    selected level, so gradients flow through XLA's built-in Cholesky JVP/VJP.
+    Jitter is scaled by mean(diag(A)) like the reference. ``max_tries`` is
+    accepted for API compatibility with the reference's 10x retry loop.
+
+    The straight-line schedule replaces the earlier ``lax.while_loop`` retry:
+    on TPU a dynamic while costs ~70us/step in condition sync alone (measured
+    on the config-1 train step — ~20% of the whole training iteration), while
+    an extra M~100 trial factorization costs ~11us.
 
     Returns (L, absolute_jitter) with ``L @ L.T ~= A + absolute_jitter * I``.
     The jitter is returned so a *consistent* jitter can enter a second related
@@ -77,33 +82,27 @@ def jitchol_with_jitter(A, jitter0: float = 1e-6, max_tries: int = 8):
     scale = jnp.maximum(diag_mean, jnp.asarray(1e-30, A.dtype))
     jitter0 = jnp.asarray(jitter0, A.dtype)
 
-    def _find_jitter(A_sg):
-        def _failed(L):
-            return jnp.isnan(L).any(axis=(-2, -1))
+    A_sg = lax.stop_gradient(A)
 
-        def attempt(jit_per_elt):
-            return jnp.linalg.cholesky(_add_jitter(A_sg, jit_per_elt * scale))
-
-        j0 = jnp.broadcast_to(jitter0, scale.shape)
-
-        def cond(carry):
-            jit, fail, i = carry
-            return jnp.logical_and(i < max_tries, fail.any())
-
-        def body(carry):
-            jit, fail, i = carry
-            jit = jnp.where(fail, jit * 10.0, jit)
-            fail = _failed(attempt(jit))
-            return jit, fail, i + 1
-
-        jit, _, _ = lax.while_loop(
-            cond, body, (j0, _failed(attempt(j0)), jnp.asarray(0))
+    def _fails(jit_abs):
+        return jnp.isnan(jnp.linalg.cholesky(_add_jitter(A_sg, jit_abs))).any(
+            axis=(-2, -1)
         )
-        return jit
 
-    jitter = lax.stop_gradient(_find_jitter(lax.stop_gradient(A)))
-    L = jnp.linalg.cholesky(_add_jitter(A, jitter * scale))
-    return L, jitter * scale
+    # straight-line 3-rung escalation (x1, x1e3 verified, x1e7 blind): two
+    # cheap stop-gradient trial factorizations and pure where-dataflow — no
+    # while / cond, whose per-step condition sync costs more than an extra
+    # M~100 Cholesky (~70us vs ~11us measured on the config-1 train step).
+    # Success-path numerics are identical to the reference schedule
+    # (jitter = jitter0); rescue rungs are coarser than the reference's 10x
+    # ladder but reach the same ~1e7*jitter0 ceiling.
+    j0 = jnp.broadcast_to(jitter0 * scale, scale.shape)
+    f0 = _fails(j0)
+    j1 = jnp.where(f0, 1e3 * j0, j0)
+    f1 = jnp.where(f0, _fails(j1), f0)
+    jitter = lax.stop_gradient(jnp.where(f1, 1e7 * j0, j1))
+    L = jnp.linalg.cholesky(_add_jitter(A, jitter))
+    return L, jitter
 
 
 def jitchol(A, jitter0: float = 1e-6, max_tries: int = 8):
