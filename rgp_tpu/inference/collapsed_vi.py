@@ -53,6 +53,7 @@ __all__ = [
     "predict_certain",
     "posterior_f_samples",
     "log_predictive_density",
+    "predict_quantiles",
 ]
 
 _LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
@@ -250,6 +251,18 @@ def log_predictive_density(y, mean, var):
     ``m.log_predictive_density`` [H]). All args (T, D); returns a scalar."""
     return jnp.mean(
         -0.5 * (_LOG2PI + jnp.log(var)) - 0.5 * (y - mean) ** 2 / var
+    )
+
+
+def predict_quantiles(mean, var, quantiles=(2.5, 97.5)):
+    """Gaussian predictive quantiles in percent (reference
+    ``m.predict_quantiles`` [H]). Returns a tuple of arrays shaped like
+    ``mean``, one per requested percentile."""
+    import scipy.stats
+
+    sd = jnp.sqrt(var)
+    return tuple(
+        mean + float(scipy.stats.norm.ppf(q / 100.0)) * sd for q in quantiles
     )
 
 

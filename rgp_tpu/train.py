@@ -23,12 +23,54 @@ import optax
 
 from .params import ravel
 
-__all__ = ["fit_adam", "fit_minibatch", "fit_scipy_lbfgs", "fit_scg", "FitResult"]
+__all__ = [
+    "fit_adam",
+    "fit_minibatch",
+    "fit_scipy_lbfgs",
+    "fit_scg",
+    "optimize_restarts",
+    "freeze_mask",
+    "FitResult",
+]
 
 
 class FitResult(NamedTuple):
     params: object
     losses: jnp.ndarray  # per-iteration objective values (negative ELBO)
+
+
+def freeze_mask(params, predicate: Callable[[str], bool]):
+    """Build a frozen-leaf mask from a path predicate — the functional analog
+    of paramz ``param.fix()`` (`paramz:paramz/core/constrainable.py` [H]).
+
+    ``predicate`` receives each leaf's '/'-joined key path (e.g.
+    ``"layers/0/Z"``, ``"out/log_noise"``) and returns True to FREEZE it.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    frozen_paths = {path_str(kp) for kp, _ in flat if predicate(path_str(kp))}
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: path_str(kp) in frozen_paths, params
+    )
+
+
+def _apply_frozen(g, frozen):
+    if frozen is None:
+        return g
+    return jax.tree.map(
+        lambda grad, f: jnp.where(f, jnp.zeros_like(grad), grad), g, frozen
+    )
 
 
 def fit_adam(
@@ -38,12 +80,60 @@ def fit_adam(
     iters: int,
     learning_rate: float = 1e-2,
     optimizer: Optional[optax.GradientTransformation] = None,
+    frozen=None,
     jit: bool = True,
 ) -> FitResult:
-    """Minimize ``loss_fn(params)`` with Adam; whole loop under one jit/scan."""
+    """Minimize ``loss_fn(params)`` with Adam; whole loop under one jit/scan.
+
+    ``frozen``: optional pytree of booleans matching ``params`` (see
+    :func:`freeze_mask`) — True leaves receive zero gradient, i.e. stay fixed
+    (the reference's ``param.fix()``).
+    """
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
     def run(p0):
+        state0 = opt.init(p0)
+
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            g = _apply_frozen(g, frozen)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
+        return p, losses
+
+    if jit:
+        run = jax.jit(run)
+    p, losses = run(params)
+    return FitResult(params=p, losses=losses)
+
+
+def optimize_restarts(
+    loss_fn: Callable,
+    init_fn: Callable,
+    seeds,
+    *,
+    iters: int,
+    learning_rate: float = 1e-2,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    accept_fn: Optional[Callable] = None,
+) -> FitResult:
+    """Multi-restart optimization, all restarts trained in ONE vmapped scan
+    on-chip (the TPU-native analog of paramz ``m.optimize_restarts`` [H],
+    which loops seeds on the host).
+
+    ``init_fn(seed) -> params`` builds each restart's initial pytree (host-side
+    numpy is fine — called before tracing). The best restart by final loss is
+    returned; ``accept_fn(params) -> bool array`` optionally vetoes degenerate
+    optima (e.g. collapsed noise channels) before selection.
+    """
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[init_fn(s) for s in seeds])
+
+    def run_one(p0):
         state0 = opt.init(p0)
 
         def step(carry, _):
@@ -56,10 +146,16 @@ def fit_adam(
         (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
         return p, losses
 
-    if jit:
-        run = jax.jit(run)
-    p, losses = run(params)
-    return FitResult(params=p, losses=losses)
+    params_b, losses_b = jax.jit(jax.vmap(run_one))(stacked)
+    final = losses_b[:, -1]
+    if accept_fn is not None:
+        ok = jax.vmap(accept_fn)(params_b)
+        score = jnp.where(ok, final, jnp.inf)
+        final = jnp.where(jnp.any(ok), score, final)
+    best = int(jnp.argmin(final))
+    return FitResult(
+        params=jax.tree.map(lambda a: a[best], params_b), losses=losses_b[best]
+    )
 
 
 def fit_minibatch(
