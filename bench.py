@@ -123,26 +123,33 @@ def _fit_restarts(cfg, Y, U, iters, lr, seeds, dtype):
     return p_best, [float(x) for x in elbos]
 
 
-def _device_responsive(timeout: int = 240) -> bool:
+def _device_responsive(timeout: int = 240, retries: int = 3, backoff: int = 30) -> bool:
     """Probe the default backend from a SUBPROCESS with a hard timeout.
 
     The axon TPU tunnel can wedge (a lost client's grant blocks new claims for
-    a long time); a hung device would otherwise hang the whole benchmark. A
-    subprocess probe lets us detect that and fall back to CPU so the bench
-    always emits its JSON line.
+    a while, e.g. right after another process exits); a hung device would
+    otherwise hang the whole benchmark. The probe RETRIES with backoff before
+    giving up — transient wedges usually clear within a couple of minutes, and
+    a spurious CPU fallback would wreck the recorded headline metric.
     """
     import subprocess
     import sys
+    import time as _time
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(float(jnp.ones(2).sum()))"],
-            timeout=timeout, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(float(jnp.ones(2).sum()))"],
+                timeout=timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            _time.sleep(backoff)
+    return False
 
 
 def main():

@@ -89,18 +89,28 @@ def jitchol_with_jitter(A, jitter0: float = 1e-6, max_tries: int = 8):
             axis=(-2, -1)
         )
 
-    # straight-line 3-rung escalation (x1, x1e3 verified, x1e7 blind): two
-    # cheap stop-gradient trial factorizations and pure where-dataflow — no
-    # while / cond, whose per-step condition sync costs more than an extra
+    # straight-line 4-rung escalation (x1, x10, x1e3 verified, x1e7 blind):
+    # three cheap stop-gradient trial factorizations and pure where-dataflow —
+    # no while / cond, whose per-step condition sync costs more than an extra
     # M~100 Cholesky (~70us vs ~11us measured on the config-1 train step).
     # Success-path numerics are identical to the reference schedule
-    # (jitter = jitter0); rescue rungs are coarser than the reference's 10x
-    # ladder but reach the same ~1e7*jitter0 ceiling.
+    # (jitter = jitter0). The x10 rung matters beyond robustness: marginal
+    # Kmm failures are common for near-duplicate inducing points, and a
+    # coarser first jump (x1e3) makes the stop-gradient jitter selection a
+    # visible discontinuity under finite-difference checkgrad (~1e-3 rel err
+    # observed); x10 keeps the jump below test tolerance, matching the
+    # reference's 10x ladder on the first two rungs.
     j0 = jnp.broadcast_to(jitter0 * scale, scale.shape)
     f0 = _fails(j0)
-    j1 = jnp.where(f0, 1e3 * j0, j0)
-    f1 = jnp.where(f0, _fails(j1), f0)
-    jitter = lax.stop_gradient(jnp.where(f1, 1e7 * j0, j1))
+    f1 = jnp.where(f0, _fails(1e3 * j0), f0)
+    # only the LADDER CHOICE is stop-gradded; the diag-mean scale stays
+    # differentiable (jitter = rel * mean(diag A)) so the analytic gradient
+    # keeps the jitter's dependence on e.g. the kernel variance — dropping it
+    # shows up as ~1e-3 rel error under finite-difference checkgrad
+    rel = lax.stop_gradient(
+        jnp.where(f1, 1e7 * jitter0, jnp.where(f0, 1e3 * jitter0, jitter0))
+    )
+    jitter = rel * scale
     L = jnp.linalg.cholesky(_add_jitter(A, jitter))
     return L, jitter
 

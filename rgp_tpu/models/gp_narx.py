@@ -11,6 +11,7 @@ is the same uncertain-input machinery the full RGP freerun uses (SURVEY.md S3.3)
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,11 @@ def elbo(cfg: NARXConfig, params, Y, U=None, *, block=None):
     return sparse_gp.elbo(cfg.sparse, params, X, Yt, block=block)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("moment_match", "include_noise_in_state"),
+)
 def freerun(
     cfg: NARXConfig,
     params,

@@ -32,6 +32,7 @@ means and variances closed-loop.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -346,6 +347,7 @@ def _posteriors(cfg: RGPConfig, params, Y, U, *, block=None):
     return posts, (mu_lower_t, lam_lower_t)
 
 
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("include_noise",))
 def predict_train(cfg: RGPConfig, params, Y, U, *, include_noise: bool = True):
     """One-step-ahead (teacher-forced) prediction over the training span
     (reference ``m.predict`` semantics [M]): the output GP evaluated at the
@@ -360,6 +362,11 @@ def predict_train(cfg: RGPConfig, params, Y, U, *, include_noise: bool = True):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("moment_match", "init_from_train_tail"),
+)
 def freerun(
     cfg: RGPConfig,
     params,
@@ -371,6 +378,11 @@ def freerun(
     init_from_train_tail: bool = True,
 ):
     """Closed-loop free simulation over test inputs (S3.3; the benchmark path).
+
+    Jitted with ``cfg`` static: the whole rollout (posterior precompute +
+    scan) compiles to one executable — un-jitted, each of the hundreds of host
+    jnp calls in the posterior assembly pays a device round trip (the
+    environment gotcha recorded in BASELINE.md).
 
     Each hidden layer's feedback window starts from the tail of its trained
     variational means; every per-step prediction is moment-matched through the

@@ -14,14 +14,15 @@ from rgp_tpu.data import datasets
 from rgp_tpu.data.windows import Standardizer
 from rgp_tpu.models import rgp
 
-# recorded 2026-08-18 (straight-line jitchol rescue ladder; see linalg.py),
-# f64, seed 0, actuator T=512, M=50, wins=[0,10], u_win=10
+# recorded 2026-08-18 (straight-line jitchol ladder, differentiable diag-mean
+# jitter scale; see linalg.py — matches the original 2026-08-17 goldens to
+# ~5e-8 rel), f64, seed 0, actuator T=512, M=50, wins=[0,10], u_win=10
 _GOLDEN_E0 = -6010.8906195429845
 _GOLDEN_TRAJ = {  # iter index -> ELBO after that Adam(1e-2) step
     0: -6010.890620950362,
-    9: -3852.4863209027435,
-    24: -2418.378624957737,
-    49: -1321.9768872610002,
+    9: -3850.993257170911,
+    24: -2412.6327566896316,
+    49: -1313.39774406284,
 }
 
 
