@@ -88,3 +88,24 @@ def test_predict_quantiles():
     lo, hi = predict_quantiles(mean, var)
     np.testing.assert_allclose(np.asarray(hi), 2 * 1.959964, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lo), -2 * 1.959964, rtol=1e-5)
+
+
+def test_plotting_helpers_render():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from rgp_tpu.utils import plotting
+
+    x = np.linspace(0, 1, 50)
+    mean = np.sin(2 * np.pi * x)
+    var = np.full(50, 0.04)
+    ax = plotting.plot_gp(x, mean, var, X_data=x[::5], Y_data=mean[::5])
+    assert len(ax.lines) >= 2 and len(ax.collections) == 1  # mean+data, band
+
+    ax2 = plotting.plot_freerun(mean, mean + 0.1, var)
+    assert "RMSE" in ax2.get_title() and len(ax2.lines) == 2
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
