@@ -75,6 +75,7 @@ class RGPConfig:
     u_dim: int
     back_cstr: bool = False
     mlp_hidden: Tuple[int, ...] = ()  # reference MLP_dims
+    amortize_var: bool = False  # encoder also outputs q(X) log-variances
 
     @property
     def n_hidden(self) -> int:
@@ -92,6 +93,7 @@ def deep_rgp_config(
     out_kernel: Optional[Kernel] = None,
     back_cstr: bool = False,
     mlp_hidden: Tuple[int, ...] = (),
+    amortize_var: bool = False,
 ) -> RGPConfig:
     """Reference-API-shaped constructor (`DeepAutoreg(wins, Y, U=, U_win=, ...)`,
     SURVEY.md Appendix B): ``wins=[w_out, w_1, ..., w_H]`` with wins[0] the
@@ -131,6 +133,7 @@ def deep_rgp_config(
         u_dim=u_dim,
         back_cstr=back_cstr,
         mlp_hidden=tuple(mlp_hidden),
+        amortize_var=amortize_var,
     )
 
 
@@ -221,7 +224,8 @@ def init_params(
         for spec in cfg.layers:
             key, sub = jax.random.split(key)
             din = spec.win * cfg.y_dim + cfg.u_win * cfg.u_dim
-            dims = (din, *cfg.mlp_hidden, spec.q_dim)
+            dout = spec.q_dim * (2 if cfg.amortize_var else 1)
+            dims = (din, *cfg.mlp_hidden, dout)
             encs.append(init_mlp(sub, dims, dtype=dtype))
         params["encoder"] = tuple(encs)
     return params
@@ -230,13 +234,22 @@ def init_params(
 # ----------------------------------------------------------------- ELBO
 
 
-def _hidden_means(cfg: RGPConfig, params, Y, U):
-    """Full latent mean arrays per layer, (T+L_h, Q_h). With back-constraints
-    the target-section means are amortized: MLP(window of Y, U) (S2.1 encoder);
-    the initial-window means stay free parameters (stored in params['mu'][:L])."""
-    mus = []
+_LOG_LAM_BIAS = -4.605170185988091  # ln(0.01): amortized variances start ~ the
+# reference's 0.01 init when the encoder's raw output is near zero
+
+
+def _hidden_moments(cfg: RGPConfig, params, Y, U):
+    """Full latent (means, variances) per layer, each (T+L_h, Q_h).
+
+    With back-constraints the target-section means are amortized:
+    MLP(window of Y, U) (S2.1 encoder); with ``amortize_var`` the encoder's
+    output doubles to (mu, log-variance) per latent dim (the reference's
+    "possibly vars" variant [M]). Initial-window moments stay free parameters.
+    """
+    mus, lams = [], []
     for h, spec in enumerate(cfg.layers):
         lp = params["layers"][h]
+        lam_t = jnp.exp(lp["log_lam"])
         if cfg.back_cstr:
             feats = []
             if spec.win > 0:
@@ -244,11 +257,17 @@ def _hidden_means(cfg: RGPConfig, params, Y, U):
             if cfg.u_win > 0:
                 feats.append(current_window(U, cfg.u_win))
             enc_in = jnp.concatenate(feats, axis=-1)  # (T, win*Dy + u_win*Du)
-            mu_t = mlp_apply(params["encoder"][h], enc_in)  # (T, Q)
+            out = mlp_apply(params["encoder"][h], enc_in)  # (T, Q or 2Q)
+            if cfg.amortize_var:
+                mu_t = out[:, : spec.q_dim]
+                lam_t = jnp.exp(out[:, spec.q_dim:] + _LOG_LAM_BIAS)
+            else:
+                mu_t = out
         else:
             mu_t = lp["mu"]
         mus.append(jnp.concatenate([lp["mu0"], mu_t], axis=0))
-    return mus
+        lams.append(jnp.concatenate([jnp.exp(lp["log_lam0"]), lam_t], axis=0))
+    return mus, lams
 
 
 def _layer_inputs(cfg: RGPConfig, h: int, mu_full, lam_full, mu_lower_t, lam_lower_t, U):
@@ -273,7 +292,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
     Y = jnp.asarray(Y)
     U = jnp.asarray(U)
     total = 0.0
-    mus = _hidden_means(cfg, params, Y, U)
+    mus, lams = _hidden_moments(cfg, params, Y, U)
 
     mu_lower_t = None
     lam_lower_t = None
@@ -281,9 +300,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
         lp = params["layers"][h]
         L = spec.win
         mu_full = mus[h]
-        lam_full = jnp.concatenate(
-            [jnp.exp(lp["log_lam0"]), jnp.exp(lp["log_lam"])], axis=0
-        )
+        lam_full = lams[h]
 
         X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
         tgt_mu = mu_full[L:]
@@ -323,16 +340,14 @@ def _posteriors(cfg: RGPConfig, params, Y, U, *, block=None):
     computed once, reused across all freerun steps (S3.3 step 2)."""
     Y = jnp.asarray(Y)
     U = jnp.asarray(U)
-    mus = _hidden_means(cfg, params, Y, U)
+    mus, lams = _hidden_moments(cfg, params, Y, U)
     posts = []
     mu_lower_t = lam_lower_t = None
     for h, spec in enumerate(cfg.layers):
         lp = params["layers"][h]
         L = spec.win
         mu_full = mus[h]
-        lam_full = jnp.concatenate(
-            [jnp.exp(lp["log_lam0"]), jnp.exp(lp["log_lam"])], axis=0
-        )
+        lam_full = lams[h]
         X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
         stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
         posts.append(
@@ -392,7 +407,7 @@ def freerun(
     U_test = jnp.asarray(U_test)
     H = cfg.n_hidden
 
-    mus = _hidden_means(cfg, params, jnp.asarray(Y_train), jnp.asarray(U_train))
+    mus, lams = _hidden_moments(cfg, params, jnp.asarray(Y_train), jnp.asarray(U_train))
 
     # per-layer state buffer length: own window or consumer window, whichever larger
     buf_lens = []
@@ -404,10 +419,9 @@ def freerun(
     bufs_mu, bufs_s = [], []
     for h, spec in enumerate(cfg.layers):
         B = buf_lens[h]
-        lam_t = jnp.exp(params["layers"][h]["log_lam"])
         if init_from_train_tail:
             tail_mu = mus[h][-B:][::-1]
-            tail_s = lam_t[-B:][::-1]
+            tail_s = lams[h][-B:][::-1]
         else:
             tail_mu = jnp.zeros((B, spec.q_dim), dtype=U_test.dtype)
             tail_s = jnp.ones((B, spec.q_dim), dtype=U_test.dtype)

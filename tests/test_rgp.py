@@ -119,3 +119,30 @@ def test_freerun_beats_zero_predictor_after_training():
     rmse = float(jnp.sqrt(jnp.mean((m - Yt) ** 2)))
     zero = float(jnp.sqrt(jnp.mean(Yt**2)))
     assert rmse < 0.7 * zero, (rmse, zero)
+
+
+def test_back_cstr_amortized_variances():
+    """amortize_var=True: the encoder outputs (mu, log-var) per latent dim
+    (the reference's 'possibly vars' encoder variant, SURVEY.md S2.1);
+    checkgrad + training improvement + freerun sanity."""
+    Y, U, _, Ut = _small_data(T=15)
+    cfg = rgp.deep_rgp_config(
+        wins=[0, 2], u_win=2, y_dim=1, u_dim=1, num_inducing=5,
+        back_cstr=True, mlp_hidden=(8,), amortize_var=True,
+    )
+    params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
+    # encoder output layer must be 2*q_dim wide
+    assert params["encoder"][0][-1]["w"].shape[-1] == 2 * cfg.layers[0].q_dim
+
+    def f(p):
+        return rgp.elbo(cfg, p, Y, U, block=None)
+
+    res = checkgrad(f, params, eps=1e-5, max_coords=60)
+    # rel-err alone is brittle on near-zero encoder-bias gradients; accept if
+    # either criterion holds (same convention as jax.test_util.check_grads)
+    assert res.max_rel_err < 3e-4 or res.max_abs_err < 1e-5, res
+
+    fit = train.fit_adam(lambda p: -f(p), params, iters=80, learning_rate=1e-2)
+    assert float(-fit.losses[-1]) > float(-fit.losses[0]) + 1.0
+    m, v = rgp.freerun(cfg, fit.params, Y, U, Ut)
+    assert np.all(np.isfinite(np.asarray(m))) and np.all(np.asarray(v) > 0)
