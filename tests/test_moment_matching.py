@@ -71,11 +71,11 @@ def test_freerun_one_step_consistency(rng):
 
     # manual first step
     posts, _ = rgp._posteriors(cfg, params, Y, U)
-    mus = rgp._hidden_means(cfg, params, Y, U)
+    mus, lams = rgp._hidden_moments(cfg, params, Y, U)
     lp = params["layers"][0]
     spec = cfg.layers[0]
     L = spec.win
-    lam_t = jnp.exp(lp["log_lam"])
+    lam_t = lams[0]
     own_mu = mus[0][-L:][::-1].reshape(1, -1)
     own_s = lam_t[-L:][::-1].reshape(1, -1)
     u0 = jnp.concatenate([Ut[0], U[-1]])[None, :]  # [u_t, u_{t-1}] window
