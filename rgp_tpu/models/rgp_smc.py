@@ -43,7 +43,7 @@ def make_ssm(
 ) -> SSM:
     """Build the particle-filter view of the trained model over the test span."""
     posts, _ = rgp._posteriors(cfg, params, Y_train, U_train)
-    mus = rgp._hidden_means(cfg, params, jnp.asarray(Y_train), jnp.asarray(U_train))
+    mus, _ = rgp._hidden_moments(cfg, params, jnp.asarray(Y_train), jnp.asarray(U_train))
     U_test = jnp.asarray(U_test)
     Y_test = jnp.asarray(Y_test)
     H = cfg.n_hidden
