@@ -32,6 +32,12 @@ def _load():
     lib.collapsed_bound.argtypes = [d, ctypes.c_double, d, d, d, d,
                                     ctypes.c_double, ctypes.c_double, i64, i64, i64]
     lib.collapsed_bound.restype = ctypes.c_double
+    lib.collapsed_bound_whitened.argtypes = [d, ctypes.c_double, d, d, d, d,
+                                             ctypes.c_double, ctypes.c_double,
+                                             i64, i64, i64]
+    lib.collapsed_bound_whitened.restype = ctypes.c_double
+    lib.jacobi_eigh.argtypes = [d, i64, d, d]
+    lib.jacobi_eigh.restype = None
     lib.systematic_resample.argtypes = [d, ctypes.c_double, i64,
                                         ctypes.POINTER(ctypes.c_int64)]
     lib.systematic_resample.restype = None
@@ -73,6 +79,36 @@ def collapsed_bound(Kmm, psi0_sum, psi1, psi2, Y, Yvar, noise, jitter):
         _dp(yv) if yv is not None else None,
         float(noise), float(jitter), T, M, D,
     )
+
+
+def collapsed_bound_whitened(Kmm, psi0_sum, psi1, psi2, Y, Yvar, noise,
+                             floor_rel=1e-6):
+    """Independent oracle for the spectral-whitening bound formulation
+    (rgp_tpu.inference.collapsed_vi), using the library's own Jacobi
+    eigensolver — no LAPACK in the loop."""
+    lib = _load()
+    Kmm = np.ascontiguousarray(Kmm, np.float64)
+    psi1 = np.ascontiguousarray(psi1, np.float64)
+    psi2 = np.ascontiguousarray(psi2, np.float64)
+    Y = np.ascontiguousarray(Y, np.float64)
+    T, D = Y.shape
+    M = Kmm.shape[0]
+    yv = None if Yvar is None else np.ascontiguousarray(Yvar, np.float64)
+    return lib.collapsed_bound_whitened(
+        _dp(Kmm), float(psi0_sum), _dp(psi1), _dp(psi2), _dp(Y),
+        _dp(yv) if yv is not None else None,
+        float(noise), float(floor_rel), T, M, D,
+    )
+
+
+def jacobi_eigh(A):
+    lib = _load()
+    A = np.ascontiguousarray(A, np.float64)
+    N = A.shape[0]
+    lam = np.empty(N)
+    V = np.empty((N, N))
+    lib.jacobi_eigh(_dp(A), N, _dp(lam), _dp(V))
+    return lam, V
 
 
 def systematic_resample(log_w, u0):

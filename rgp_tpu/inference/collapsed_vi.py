@@ -16,6 +16,13 @@ Psi2 Lm^{-T}, B = I + A, Lb = chol(B), c = Lb^{-1} Lm^{-1} Psi1^T Y:
 where E||Y||^2 = ||Y_mean||^2 + sum(Y_var) absorbs the hidden-layer
 "-tr(S)/(2 sigma^2)" REVARB correction (A.4) when targets are variational.
 
+f32/TPU formulation: the bound is assembled in a stop-gradient *spectral
+whitening basis* of Kmm (see :func:`whitening_basis`) so every factorized
+matrix is ~identity-conditioned regardless of cond(Kmm). GPy's congruence
+(and round-1's C = Kmm + beta Psi2 variant) both amplify Psi2's f32 rounding
+error by 1/lambda_min(Kmm) — measured ~68-nat ELBO error on the drives
+flagship at cond(Kmm) ~ 1e17, vs ~0.1 nats for the whitened form.
+
 Moment-matched prediction at uncertain inputs (Girard et al. 2003; the
 reference's ``freerun`` path, SURVEY.md S3.3): with W = (Kmm + beta Psi2)^{-1}
 and alpha = beta W Psi1^T Y,
@@ -30,15 +37,14 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..kernels import Kernel
 from ..linalg import (
-    backsub_both_sides,
     cho_solve,
     default_jitter,
     hdot,
     jitchol,
-    jitchol_with_jitter,
     log_det_from_chol,
     solve_triangular,
 )
@@ -54,38 +60,197 @@ __all__ = [
     "posterior_f_samples",
     "log_predictive_density",
     "predict_quantiles",
+    "whitening_basis",
+    "Whitening",
+    "default_spectral_floor",
 ]
 
 _LOG2PI = 1.8378770664093453  # log(2*pi), host constant (no import-time device op)
 
 
-def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float],
-            need_trace: bool = True):
-    """Shared factorizations for the collapsed bound.
+class Whitening(NamedTuple):
+    """Stop-gradient spectral whitening of Kmm (see :func:`whitening_basis`).
 
-    NOTE on the f32/TPU formulation: GPy factors B = I + beta Lm^{-1} Psi2
-    Lm^{-T} (congruence first). In f32 that amplifies the rounding error of
-    Psi2 by cond(Kmm) and makes B numerically indefinite (observed eigmin
-    ~ -90 on the actuator config). We instead factor C = Kmm + beta Psi2
-    directly — mathematically identical (log|B| = log|C| - log|Kmm|,
-    Lm^{-T} B^{-1} Lm^{-1} = C^{-1}) but the error stays relative to ||C||,
-    so f32 survives (SURVEY.md S7 hard-part 1).
+    W: (M, M) ``V diag(lambda_eff^{-1/2})``.
+    topup: (M,) ``1 - lambda/lambda_eff`` — diagonal correction s.t.
+        ``W^T Kmm W + diag(topup) = I`` at the linearization point.
+    half_logdet: scalar ``0.5 * sum(log lambda_eff)`` = half log-det of the
+        clamp-regularized Kmm (used by the explicit-q(u) SVI KL).
+    """
+
+    W: jnp.ndarray
+    topup: jnp.ndarray
+    half_logdet: jnp.ndarray
+
+
+def default_spectral_floor(dtype) -> float:
+    """Relative spectral floor for the whitened bound: eigendirections of Kmm
+    below ``floor * lambda_max`` are lifted to the floor (soft clamp), capping
+    the pseudo-inverse scale of the bound and posterior at 1/floor (SURVEY.md
+    S7 hard-part 1). Deliberately dtype-INDEPENDENT (1e-6, the spectral analog
+    of the reference's universal relative jitter, `GPy:GPy/util/linalg.py`
+    jitchol [H]) so f32 (TPU production) and f64 (CPU test oracle) evaluate
+    the SAME regularized model and differ only by rounding — the f32-vs-f64
+    consistency gate then measures numerics, not regularization policy."""
+    del dtype
+    return 1e-6
+
+
+def whitening_basis(Kmm, psi2=None, beta=None, spectral_floor: Optional[float] = None):
+    """Stop-gradient spectral whitening basis for the collapsed bound.
+
+    Returns a :class:`Whitening` with ``W = V diag(lambda_eff^{-1/2})``,
+    ``lambda_eff = max(lambda, floor * lambda_max)`` the softly-clamped
+    spectrum of Kmm, and ``topup = 1 - lambda/lambda_eff`` the diagonal
+    correction making ``W^T Kmm W + diag(topup) = I`` at the linearization
+    point; both under ``stop_gradient``.
+
+    Rationale (replaces both GPy's B = I + beta Lm^{-1} Psi2 Lm^{-T}
+    congruence and round-1's C = Kmm + beta Psi2 factorization): RBF Gram
+    matrices over inducing points a few lengthscales apart are numerically
+    singular (cond ~ 1e17 even in f64), so ANY Cholesky-of-Kmm route amplifies
+    the f32 rounding error of Psi2 by 1/lambda_min and corrupts log|B| and
+    tr(Kmm^{-1} Psi2) by hundreds of nats (measured on the drives flagship).
+    Re-expressing the bound for the transformed inducing features u~ = W^T u
+    keeps every factorized matrix ~identity-conditioned: the measured f32
+    error collapses from ~68 nats to ~0.1 on the worst config.
+
+    Adaptive floor ladder: Psi2's own rounding noise (~eps * ||Psi2||),
+    amplified by beta/lambda_kept, can make the whitened beta W^T Psi2 W
+    indefinite when the base floor keeps an eigendirection that is too small
+    relative to Psi2's error. When ``psi2``/``beta`` are given, a trial
+    (stop-grad) Cholesky of Ct = Kt + beta W^T Psi2 W is run at floors
+    (f0, 1e3 f0, 1e6 f0) and the first succeeding floor is selected — the
+    same straight-line escalate-on-failure pattern (and TPU rationale) as
+    :func:`rgp_tpu.linalg.jitchol_with_jitter`, and the moral equivalent of
+    the reference's jitchol retry (`GPy:GPy/util/linalg.py` [H]), whose
+    Cholesky-failure exception is what adaptively floors GPy's spectrum.
+
+    Exactness of the stop-gradient: for full-rank W with zero topup the
+    collapsed bound is invariant to W (same variational family), so the
+    gradient contribution through W is exactly zero; the clamp only engages
+    for eigendirections below the dtype's resolution, where the (tiny)
+    regularizer gradient is discarded — the same class of approximation as
+    the stop-gradded jitter selection in jitchol.
+    """
+    Kmm_sym = lax.stop_gradient(0.5 * (Kmm + Kmm.T))
+    if spectral_floor is None:
+        spectral_floor = default_spectral_floor(Kmm.dtype)
+    lam, V = jnp.linalg.eigh(Kmm_sym)  # ascending
+    lam_max = jnp.maximum(lam[-1], jnp.asarray(1e-30, Kmm.dtype))
+
+    # SOFT clamp (not a hard truncation): lam_eff = max(lam, floor*lam_max).
+    # A hard kept/dropped mask flips with the last rounding bits of eigenvalues
+    # near the floor, jumping the bound by whole nats between evaluation orders
+    # (measured 4.8 nats between the sharded and plain f32 ELBO); the clamp is
+    # continuous in lam, so different orders agree to rounding. ``topup`` =
+    # 1 - lam/lam_eff makes W^T Kmm W + diag(topup) = I at the linearization
+    # point, i.e. clamped directions enter the bound with their prior variance
+    # lifted to the floor — the spectral analog of GPy's additive jitter.
+    def _w_topup(floor):
+        lam_eff = jnp.maximum(lam, floor * lam_max)
+        W = V / jnp.sqrt(lam_eff)[None, :]
+        topup = 1.0 - jnp.maximum(lam, 0.0) / lam_eff
+        return W, topup, lam_eff
+
+    floor = jnp.asarray(spectral_floor, Kmm.dtype)
+    if psi2 is not None:
+        # Escalate the floor until the whitened Ct factorizes (see docstring).
+        # The trial runs in f32 FOR EVERY INPUT DTYPE: the regularization
+        # policy must be a deterministic function of the model, not of the
+        # evaluation dtype, or the f32 (TPU) and f64 (CPU oracle) paths would
+        # quietly compute differently-regularized models whenever only f32
+        # needs the escalation — which is exactly when they must agree.
+        p2 = lax.stop_gradient(0.5 * (psi2 + psi2.T)).astype(jnp.float32)
+        K32 = Kmm_sym.astype(jnp.float32)
+        lam32 = lam.astype(jnp.float32)
+        lmax32 = lam_max.astype(jnp.float32)
+        b = lax.stop_gradient(beta).astype(jnp.float32)
+        M = Kmm.shape[-1]
+        eye = jnp.eye(M, dtype=jnp.float32)
+
+        def _fails(fl):
+            lam_eff = jnp.maximum(lam32, jnp.float32(fl) * lmax32)
+            W32 = V.astype(jnp.float32) / jnp.sqrt(lam_eff)[None, :]
+            topup = 1.0 - jnp.maximum(lam32, 0.0) / lam_eff
+            Kt = hdot(W32.T, hdot(K32, W32)) + jnp.diag(topup)
+            At = b * hdot(W32.T, hdot(p2, W32))
+            Ct = Kt + 0.5 * (At + At.T)
+            Ct = Ct + 1e-6 * jnp.mean(jnp.diagonal(Ct)) * eye
+            return jnp.isnan(jnp.linalg.cholesky(Ct)).any()
+
+        f0 = _fails(spectral_floor)
+        f1 = jnp.where(f0, _fails(1e3 * spectral_floor), False)
+        floor = jnp.where(
+            f0,
+            jnp.where(f1, 1e6 * floor, 1e3 * floor),
+            floor,
+        )
+
+    W, topup, lam_eff = _w_topup(floor)
+    return Whitening(
+        lax.stop_gradient(W),
+        lax.stop_gradient(topup),
+        lax.stop_gradient(0.5 * jnp.sum(jnp.log(lam_eff))),
+    )
+
+
+def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float],
+            need_trace: bool = True, W=None, psi1_factor=None):
+    """Shared whitened factorizations for the collapsed bound.
+
+    With W the (stop-grad) whitening basis of Kmm (see
+    :func:`whitening_basis`), the bound is assembled for the inducing
+    features u~ = W^T u:
+
+      Kt = W^T Kmm W + diag(topup)    (~ I, differentiable through Kmm)
+      At = beta W^T Psi2 W            (dropped rows/cols are zero)
+      Ct = Kt + At                    (pivots >= ~1: f32-safe Cholesky)
+      log|B| = log|Ct| - log|Kt|,  tr(Kmm^{-1} Psi2) = tr(Kt^{-1} At)/beta
+
+    ``jitter`` is accepted for API compatibility (the reference's escalating
+    jitchol, `GPy:GPy/util/linalg.py` [H]); the whitened matrices no longer
+    need it. Pass a precomputed :class:`Whitening` as ``W`` to amortize the eigh across
+    training steps (any full-rank W gives the identical bound, so a slightly
+    stale basis changes nothing but conditioning).
     """
     Kmm = kern.K(kp, Z)
-    if jitter is None:
-        jitter = default_jitter(Kmm.dtype)
-    Lm, jit_abs = jitchol_with_jitter(Kmm, jitter0=jitter)
-    beta = 1.0 / noise
-    # the SAME absolute jitter that entered Lm must enter C so the tiny
-    # eigenvalues cancel in log|C| - log|Kmm|
     M = Kmm.shape[-1]
-    Kmm_j = Kmm + jit_abs * jnp.eye(M, dtype=Kmm.dtype)
-    C = Kmm_j + beta * 0.5 * (psi2 + psi2.T)
-    Lc = jitchol(C, jitter0=1e-10)
-    # tr(Kmm^{-1} Psi2): congruence only for a trace (no Cholesky of it);
-    # skipped for callers that don't need the bound's trace term (posterior)
-    LmiP2Lmt = backsub_both_sides(Lm, psi2, "right") if need_trace else None
-    return Kmm, Lm, LmiP2Lmt, Lc, beta
+    beta = 1.0 / noise
+    if W is not None:
+        wh = W
+    elif psi1_factor is not None:
+        # factored At below is PSD by construction — no floor ladder needed
+        wh = whitening_basis(Kmm)
+    else:
+        wh = whitening_basis(Kmm, psi2, beta)
+    W, topup = wh.W, wh.topup
+    WtKW = hdot(W.T, hdot(Kmm, W))
+    Kt = 0.5 * (WtKW + WtKW.T) + jnp.diag(topup)
+    if psi1_factor is not None:
+        # certain inputs: Psi2 == Psi1^T Psi1 exactly, so project the FACTOR —
+        # At = beta (Psi1 W)^T (Psi1 W) is PSD by construction and avoids the
+        # "normal equations" precision loss of forming K^T K before whitening
+        # (measured: ~1 nat of f32 logdet/trace error on the NARX config at
+        # cond(Kmm) ~ 2e5 via the summed path, ~1e-2 nats factored)
+        P1W = hdot(psi1_factor, W)  # (T, M)
+        At = beta * hdot(P1W.T, P1W)
+    else:
+        psi2s = 0.5 * (psi2 + psi2.T)
+        WtP2W = hdot(W.T, hdot(psi2s, W))
+        At = beta * 0.5 * (WtP2W + WtP2W.T)
+    Ct = Kt + At
+    # the whitened matrices are ~identity-conditioned (pivots >= ~1), so the
+    # jitter stays at the dtype's resolution — a f32-sized 1e-4 here costs
+    # ~0.5 nats via the trace term at beta ~ 100, and anything above ~1e-12
+    # in f64 shows up as ~1e-4 relative error under finite-difference checkgrad
+    j0 = 1e-12 if jnp.dtype(Kmm.dtype).itemsize >= 8 else 1e-6
+    Lk = jitchol(Kt, jitter0=j0)
+    Lc = jitchol(Ct, jitter0=j0)
+    # tr(Kmm^{-1} Psi2) = tr(Kt^{-1} At) / beta (kept subspace; pseudo-inverse
+    # semantics on the truncated directions)
+    tr_KiP2 = jnp.trace(cho_solve(Lk, At)) / beta if need_trace else None
+    return Kmm, W, Lk, Lc, tr_KiP2, beta
 
 
 def collapsed_bound_from_suffstats(
@@ -101,6 +266,8 @@ def collapsed_bound_from_suffstats(
     D,
     *,
     jitter: Optional[float] = None,
+    W: Optional[Whitening] = None,
+    psi1_factor=None,
 ):
     """Assemble F0 from the additive sufficient statistics
     (sum_t psi0_t, Psi1^T Y, sum_t Psi2_t, E||Y||^2, T).
@@ -112,11 +279,13 @@ def collapsed_bound_from_suffstats(
     identically on every device.
     """
     noise = positive(log_noise)
-    _, Lm, LmiP2Lmt, Lc, beta = _common(kern, kp, Z, psi2, noise, jitter)
+    _, W, Lk, Lc, tr_KmmInvPsi2, beta = _common(
+        kern, kp, Z, psi2, noise, jitter, W=W, psi1_factor=psi1_factor
+    )
 
-    c = solve_triangular(Lc, psi1Y)  # ||Lc^{-1} Psi1^T Y||^2 = Y^T Psi1 C^{-1} Psi1^T Y
-    tr_KmmInvPsi2 = jnp.trace(LmiP2Lmt)
-    log_det_B = log_det_from_chol(Lc) - log_det_from_chol(Lm)
+    # ||Lc^{-1} W^T Psi1^T Y||^2 = Y^T Psi1 C~^{-1} Psi1^T Y in the whitened basis
+    c = solve_triangular(Lc, hdot(W.T, psi1Y))
+    log_det_B = log_det_from_chol(Lc) - log_det_from_chol(Lk)
 
     return (
         -0.5 * T * D * (_LOG2PI + jnp.log(noise))
@@ -137,9 +306,16 @@ def collapsed_bound(
     Y_var=None,
     *,
     jitter: Optional[float] = None,
+    W: Optional[Whitening] = None,
+    certain: bool = False,
 ):
     """The collapsed bound F0 (A.3). ``Y`` are target means (T, D); ``Y_var``
-    optional target variances (T, D) for variational (hidden-layer) targets."""
+    optional target variances (T, D) for variational (hidden-layer) targets.
+    ``W``: optional precomputed (possibly stale) :class:`Whitening` — see
+    :func:`whitening_basis` (amortizes the eigh over training steps).
+    ``certain``: set when the inputs were certain (s = 0, Psi2 == Psi1^T Psi1)
+    — the whitened Psi2 is then assembled from the FACTOR Psi1, which is both
+    PSD by construction and far more f32-accurate (see :func:`_common`)."""
     T, D = Y.shape
     psi1Y = hdot(stats.psi1.T, Y)  # (M, D)
     trYY = jnp.sum(Y * Y)
@@ -148,7 +324,7 @@ def collapsed_bound(
     return collapsed_bound_from_suffstats(
         kern, kp, Z, log_noise,
         jnp.sum(stats.psi0), psi1Y, stats.psi2, trYY, T, D,
-        jitter=jitter,
+        jitter=jitter, W=W, psi1_factor=stats.psi1 if certain else None,
     )
 
 
@@ -176,17 +352,20 @@ def posterior(
     jitter: Optional[float] = None,
 ) -> SparsePosterior:
     noise = positive(log_noise)
-    _, Lm, _, Lc, beta = _common(kern, kp, Z, stats.psi2, noise, jitter,
-                                 need_trace=False)
-    M = Z.shape[0]
+    _, Wb, Lk, Lc, _, beta = _common(kern, kp, Z, stats.psi2, noise, jitter,
+                                     need_trace=False)
 
     psi1Y = hdot(stats.psi1.T, Y)
-    alpha = beta * cho_solve(Lc, psi1Y)  # beta C^{-1} Psi1^T Y
+    # beta C^{-1} Psi1^T Y through the whitened basis: C^{-1} = Wb Ct^{-1} Wb^T
+    alpha = beta * hdot(Wb, cho_solve(Lc, hdot(Wb.T, psi1Y)))
 
-    eye = jnp.eye(M, dtype=Z.dtype)
-    W = cho_solve(Lc, eye)  # (Kmm + beta Psi2)^{-1}
-    Kmm_inv = backsub_both_sides(Lm, eye, "left")
-    return SparsePosterior(alpha=alpha, woodbury_inv=Kmm_inv - W, W=W)
+    # C^{-1} = Rc^T Rc and Kmm^{+} = Rk^T Rk with R = L^{-1} Wb^T (pseudo-
+    # inverse semantics on truncated directions, matching the bound)
+    Rc = solve_triangular(Lc, Wb.T)
+    Rk = solve_triangular(Lk, Wb.T)
+    C_inv = hdot(Rc.T, Rc)
+    Kmm_inv = hdot(Rk.T, Rk)
+    return SparsePosterior(alpha=alpha, woodbury_inv=Kmm_inv - C_inv, W=C_inv)
 
 
 def predict_certain(

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels import Kernel
-from ..linalg import cho_solve, default_jitter, hdot, jitchol, log_det_from_chol
+from ..linalg import cho_solve, hdot, jitchol, log_det_from_chol, solve_triangular
 from ..ops.psi_stats import PsiStats, psi01, psi2_per_t
 import numpy as np
 
@@ -81,7 +81,16 @@ def svi_bound(
     jitter: Optional[float] = None,
 ):
     """Minibatch ELBO. ``stats`` are the psi statistics of the batch inputs;
-    ``Y`` (B, D) the batch targets (optionally variational with ``Y_var``)."""
+    ``Y`` (B, D) the batch targets (optionally variational with ``Y_var``).
+
+    Assembled in the same stop-gradient spectral whitening basis as the
+    collapsed bound (:func:`rgp_tpu.inference.collapsed_vi.whitening_basis`) —
+    identical Kmm regularization, so a natural-gradient-optimal q(u) matches
+    the collapsed optimum exactly, and the f32 robustness analysis carries
+    over to the minibatch path (config 4, BASELINE.json:10).
+    """
+    from .collapsed_vi import whitening_basis
+
     B, D = Y.shape
     if T_total is None:
         T_total = B
@@ -90,37 +99,48 @@ def svi_bound(
     beta = 1.0 / noise
 
     Kmm = kern.K(kp, Z)
-    if jitter is None:
-        jitter = default_jitter(Kmm.dtype)
-    Lm = jitchol(Kmm, jitter0=jitter)
+    wh = whitening_basis(Kmm, stats.psi2, beta)
+    Wb = wh.W
+    WtKW = hdot(Wb.T, hdot(Kmm, Wb))
+    Kt = 0.5 * (WtKW + WtKW.T) + jnp.diag(wh.topup)  # ~ I
+    j0 = 1e-12 if jnp.dtype(Kmm.dtype).itemsize >= 8 else 1e-6
+    Lk = jitchol(Kt, jitter0=j0)
 
     m, S, L_S = qu_moments(qu)  # (M,D), (D,M,M)
-    a = cho_solve(Lm, m)  # Kmm^{-1} m, (M, D)
+    mt = hdot(Wb.T, m)  # whitened mean, (M, D)
+    at = cho_solve(Lk, mt)  # Kt^{-1} W^T m
+    a = hdot(Wb, at)  # Kmm_reg^{-1} m, (M, D)
 
     psi1Y = hdot(stats.psi1.T, Y)  # (M, D)
     psi0_sum = jnp.sum(stats.psi0)
-    # Kmm^{-1} Psi2 Kmm^{-1} via solves
-    KiP2 = cho_solve(Lm, stats.psi2)  # Kmm^{-1} Psi2
-    KiP2Ki = cho_solve(Lm, KiP2.T).T  # Kmm^{-1} Psi2 Kmm^{-1} (symmetric)
-    tr_KiP2 = jnp.trace(KiP2)
+    psi2s = 0.5 * (stats.psi2 + stats.psi2.T)
+    P2t = hdot(Wb.T, hdot(psi2s, Wb))  # whitened Psi2 (well-scaled)
+    KiP2t = cho_solve(Lk, P2t)  # Kt^{-1} P2t
+    tr_KiP2 = jnp.trace(KiP2t)
+    G = cho_solve(Lk, KiP2t.T).T  # Kt^{-1} P2t Kt^{-1}
+    St = jnp.einsum("im,dij,jn->dmn", Wb, S, Wb)  # whitened S, (D, M, M)
 
     # sum_t E[(y_t - f_t)^2] over the batch, all outputs
     trYY = jnp.sum(Y * Y)
     if Y_var is not None:
         trYY = trYY + jnp.sum(Y_var)
     cross = -2.0 * jnp.sum(psi1Y * a)
-    quad_m = jnp.einsum("md,mn,nd->", a, stats.psi2, a)
-    quad_S = jnp.einsum("dij,ij->", S, KiP2Ki)
+    quad_m = jnp.einsum("md,mn,nd->", a, psi2s, a)
+    quad_S = jnp.einsum("dij,ij->", St, G)
     sq_err = trYY + cross + quad_m + quad_S + D * (psi0_sum - tr_KiP2)
 
     data_term = w * (-0.5 * B * D * (_LOG2PI + jnp.log(noise)) - 0.5 * beta * sq_err)
 
-    # KL(q(u) || N(0, Kmm)) summed over output dims
+    # KL(q(u) || N(0, Kmm_reg)) summed over output dims; the differentiable
+    # log-det correction is log|Kt| (= 0 at the linearization point) on top of
+    # the stop-grad half_logdet of the regularized spectrum
     M_ = Z.shape[0]
-    mKm = jnp.sum(m * a)  # a = Kmm^{-1} m already computed above
-    tr_KiS = jnp.einsum("dij,ij->", S, cho_solve(Lm, jnp.eye(M_, dtype=m.dtype)))
+    mKm = jnp.sum(m * a)
+    eye = jnp.eye(M_, dtype=m.dtype)
+    tr_KiS = jnp.einsum("dij,ij->", St, cho_solve(Lk, eye))
     logdet_S = 2.0 * jnp.sum(jnp.log(jnp.abs(jax.vmap(jnp.diagonal)(L_S))))
-    kl = 0.5 * (tr_KiS + mKm - M_ * D + D * log_det_from_chol(Lm) - logdet_S)
+    logdet_K = 2.0 * wh.half_logdet + log_det_from_chol(Lk)
+    kl = 0.5 * (tr_KiS + mKm - M_ * D + D * logdet_K - logdet_S)
 
     return data_term - kl
 
@@ -138,21 +158,28 @@ def svi_predict(
     jitter: Optional[float] = None,
 ):
     """Predictive at q(x*): mean = Psi1* Kmm^{-1} m; variance includes the
-    q(u) covariance and the psi-statistic moment-matching terms."""
+    q(u) covariance and the psi-statistic moment-matching terms. Uses the
+    same whitened Kmm regularization as :func:`svi_bound`."""
+    from .collapsed_vi import whitening_basis
+
     noise = positive(log_noise)
     Kmm = kern.K(kp, Z)
-    if jitter is None:
-        jitter = default_jitter(Kmm.dtype)
-    Lm = jitchol(Kmm, jitter0=jitter)
+    wh = whitening_basis(Kmm)
+    Wb = wh.W
+    WtKW = hdot(Wb.T, hdot(Kmm, Wb))
+    Kt = 0.5 * (WtKW + WtKW.T) + jnp.diag(wh.topup)
+    j0 = 1e-12 if jnp.dtype(Kmm.dtype).itemsize >= 8 else 1e-6
+    Lk = jitchol(Kt, jitter0=j0)
     m, S, _ = qu_moments(qu)
-    a = cho_solve(Lm, m)  # (M, D)
+    a = hdot(Wb, cho_solve(Lk, hdot(Wb.T, m)))  # Kmm_reg^{-1} m, (M, D)
 
     psi0_s, psi1_s = psi01(kern, kp, Z, mu_star, s_star)
     p2t = psi2_per_t(kern, kp, Z, mu_star, s_star)  # (T*, M, M)
     mean = hdot(psi1_s, a)  # (T*, D)
 
     M_ = Z.shape[0]
-    Ki = cho_solve(Lm, jnp.eye(M_, dtype=m.dtype))
+    Rk = solve_triangular(Lk, Wb.T)
+    Ki = hdot(Rk.T, Rk)  # Kmm_reg^{-1}
     KiSKi = jnp.einsum("ij,djk,kl->dil", Ki, S, Ki)  # (D, M, M)
 
     quad = jnp.einsum("md,tmn,nd->td", a, p2t, a)

@@ -51,7 +51,8 @@ from ..params import np_positive_inv
 from .encoder import init_mlp, mlp_apply
 from .sparse_gp import kmeans_init
 
-__all__ = ["LayerSpec", "RGPConfig", "init_params", "elbo", "freerun", "deep_rgp_config"]
+__all__ = ["LayerSpec", "RGPConfig", "init_params", "elbo", "freerun",
+           "deep_rgp_config", "compute_whitenings"]
 
 _LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -287,8 +288,15 @@ def _layer_inputs(cfg: RGPConfig, h: int, mu_full, lam_full, mu_lower_t, lam_low
     return X_mu, X_s
 
 
-def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
-    """REVARB evidence lower bound (Appendix A.4) — one pure scalar function."""
+def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
+         whitening=None):
+    """REVARB evidence lower bound (Appendix A.4) — one pure scalar function.
+
+    ``whitening``: optional tuple of H+1 precomputed (possibly stale)
+    :class:`~rgp_tpu.inference.collapsed_vi.Whitening` bases, one per hidden
+    layer plus the output layer — amortizes the per-layer eigh across training
+    steps (see :func:`compute_whitenings` and ``train.fit_adam(aux_fn=...)``).
+    """
     Y = jnp.asarray(Y)
     U = jnp.asarray(U)
     total = 0.0
@@ -308,7 +316,8 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
 
         stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
         total = total + collapsed_bound(
-            spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, tgt_mu, tgt_lam
+            spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, tgt_mu, tgt_lam,
+            W=None if whitening is None else whitening[h],
         )
         # entropy of q over targets + KL(init window || N(0,1))  (A.4)
         total = total + 0.5 * jnp.sum(jnp.log(2.0 * jnp.pi * jnp.e * tgt_lam))
@@ -323,9 +332,47 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
     Xo_s = current_window(lam_lower_t, cfg.out_win)
     stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
     total = total + collapsed_bound(
-        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y
+        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y,
+        W=None if whitening is None else whitening[-1],
     )
     return total
+
+
+def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
+    """Fresh per-layer spectral whitening bases (H+1 tuple; see
+    :func:`~rgp_tpu.inference.collapsed_vi.whitening_basis`).
+
+    Used to amortize the eigh across training steps: recompute every k steps
+    (``train.fit_adam(aux_fn=..., aux_every=k)``) and pass into :func:`elbo`.
+    A stale basis still yields a valid ELBO of a nearby clamp-regularized
+    model — only the conditioning of the whitened matrices degrades as the
+    hyperparameters drift, which the next refresh restores.
+    """
+    from ..inference.collapsed_vi import whitening_basis
+    from ..params import positive as _positive
+
+    Y = jnp.asarray(Y)
+    U = jnp.asarray(U)
+    mus, lams = _hidden_moments(cfg, params, Y, U)
+    out = []
+    mu_lower_t = lam_lower_t = None
+    for h, spec in enumerate(cfg.layers):
+        lp = params["layers"][h]
+        L = spec.win
+        X_mu, X_s = _layer_inputs(cfg, h, mus[h], lams[h], mu_lower_t, lam_lower_t, U)
+        stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
+        Kmm = spec.kernel.K(lp["kern"], lp["Z"])
+        out.append(
+            whitening_basis(Kmm, stats.psi2, 1.0 / _positive(lp["log_noise"]))
+        )
+        mu_lower_t, lam_lower_t = mus[h][L:], lams[h][L:]
+    op = params["out"]
+    Xo_mu = current_window(mu_lower_t, cfg.out_win)
+    Xo_s = current_window(lam_lower_t, cfg.out_win)
+    stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
+    Kmm = cfg.out_kernel.K(op["kern"], op["Z"])
+    out.append(whitening_basis(Kmm, stats.psi2, 1.0 / _positive(op["log_noise"])))
+    return tuple(out)
 
 
 def neg_elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):

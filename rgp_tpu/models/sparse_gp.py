@@ -74,8 +74,11 @@ def init_params(
 
 def elbo(cfg: SparseGPConfig, params, X, Y, *, block=None):
     stats = psi_statistics(cfg.kernel, params["kern"], params["Z"], X, None, block=block)
+    # certain inputs: assemble the whitened Psi2 from its factor Psi1 = K
+    # (PSD by construction, avoids the normal-equations f32 precision loss)
     return collapsed_bound(
-        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Y
+        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Y,
+        certain=True,
     )
 
 

@@ -202,10 +202,9 @@ def nuts_sharded(
             samples=P(axis), potential=P(axis), accept_prob=P(axis),
             diverging=P(axis), step_size=P(), mass_inv=P(),
         ),
-        # the NUTS loop carries mix per-chain state with replicated constants;
-        # skip the static varying-axes inference (runtime semantics unchanged:
-        # step_size/mass are pmean-shared, per-chain outputs are sharded)
-        check_vma=False,
+        # VMA checker stays ON: the tree-doubling while_loop carries are
+        # pvary'd to the chain axis at init (nuts._match_vma), so per-chain
+        # state types as varying and the pmean-shared adaptation as invariant
     )
     return run(z0, keys)
 

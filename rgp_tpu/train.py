@@ -82,28 +82,60 @@ def fit_adam(
     optimizer: Optional[optax.GradientTransformation] = None,
     frozen=None,
     jit: bool = True,
+    aux_fn: Optional[Callable] = None,
+    aux_every: int = 1,
 ) -> FitResult:
     """Minimize ``loss_fn(params)`` with Adam; whole loop under one jit/scan.
 
     ``frozen``: optional pytree of booleans matching ``params`` (see
     :func:`freeze_mask`) — True leaves receive zero gradient, i.e. stay fixed
     (the reference's ``param.fix()``).
+
+    ``aux_fn``: optional ``aux_fn(params) -> aux`` recomputed every
+    ``aux_every`` iterations; the loss is then called as ``loss_fn(params,
+    aux)``. Used to amortize expensive stop-gradient preconditioners across
+    steps — e.g. the spectral whitening bases of the collapsed bound
+    (``rgp.compute_whitenings``), whose per-layer eigh would otherwise double
+    the TPU step time. Structured as a chunked scan (outer: refresh aux;
+    inner: ``aux_every`` Adam steps) so the whole loop stays one executable.
     """
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
     def run(p0):
         state0 = opt.init(p0)
 
-        def step(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(loss_fn)(p)
+        if aux_fn is None:
+            def step(carry, _):
+                p, s = carry
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                g = _apply_frozen(g, frozen)
+                updates, s = opt.update(g, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), loss
+
+            (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
+            return p, losses
+
+        n_outer = -(-iters // aux_every)
+
+        def inner(carry, _):
+            p, s, aux = carry
+            loss, g = jax.value_and_grad(lambda q: loss_fn(q, aux))(p)
             g = _apply_frozen(g, frozen)
             updates, s = opt.update(g, s, p)
             p = optax.apply_updates(p, updates)
-            return (p, s), loss
+            return (p, s, aux), loss
 
-        (p, _), losses = jax.lax.scan(step, (p0, state0), None, length=iters)
-        return p, losses
+        def outer(carry, _):
+            p, s = carry
+            aux = aux_fn(p)
+            (p, s, _), losses = jax.lax.scan(
+                inner, (p, s, aux), None, length=aux_every
+            )
+            return (p, s), losses
+
+        (p, _), losses = jax.lax.scan(outer, (p0, state0), None, length=n_outer)
+        return p, losses.reshape(-1)[:iters]
 
     if jit:
         run = jax.jit(run)

@@ -23,6 +23,13 @@ import jax  # noqa: E402  (already in sys.modules; config still mutable)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the sharding gates compile large shard_map
+# graphs (eigh ladder x layers x fwd/bwd) — cold-compiling them dominated the
+# 30-minute round-1 suite wall time; warm runs hit this cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/rgp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

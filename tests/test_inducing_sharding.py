@@ -5,6 +5,7 @@ gradients, for RBF (uncertain + certain inputs) and Linear kernels."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rgp_tpu.inference.collapsed_vi import collapsed_bound
 from rgp_tpu.kernels import RBF, Linear
@@ -43,6 +44,7 @@ def test_psi2_rows_matches_full(rng):
     np.testing.assert_allclose(np.asarray(rows_b), np.asarray(rows), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_inducing_sharded_elbo_value_and_grad(rng):
     kern, params, X_mu, X_s, Y = _problem(rng)
     m = pmesh.make_mesh(data=8)
@@ -76,6 +78,7 @@ def test_inducing_sharded_certain_inputs(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_inducing_sharded_linear_kernel(rng):
     kern, params, X_mu, X_s, Y = _problem(rng, kern_cls=Linear)
     m = pmesh.make_mesh(data=8)

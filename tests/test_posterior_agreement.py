@@ -5,6 +5,7 @@ and NUTS — must agree on the GP hyperparameter posterior moments."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rgp_tpu.kernels import RBF
 from rgp_tpu.models import gp
@@ -13,6 +14,7 @@ from rgp_tpu.sample.hmc import hmc_sample
 from rgp_tpu.sample.nuts import nuts_sample
 
 
+@pytest.mark.slow
 def test_hmc_and_nuts_agree_on_gp_posterior(rng):
     X = jnp.asarray(rng.standard_normal((25, 2)))
     Y = jnp.asarray(

@@ -26,7 +26,16 @@ def _setup(H=1, back_cstr=False, T=64):
     return cfg, params, Y, U
 
 
-@pytest.mark.parametrize("H,back_cstr", [(1, False), (2, False), (1, True)])
+@pytest.mark.parametrize(
+    "H,back_cstr",
+    [
+        (1, False),
+        # the deep and back-constrained variants compile the largest shard_map
+        # graphs in the suite (~3 min each cold) — slow lane only
+        pytest.param(2, False, marks=pytest.mark.slow),
+        pytest.param(1, True, marks=pytest.mark.slow),
+    ],
+)
 def test_sequence_sharded_elbo_matches(H, back_cstr):
     cfg, params, Y, U = _setup(H=H, back_cstr=back_cstr)
     ref = float(rgp.elbo(cfg, params, Y, U, block=None))
