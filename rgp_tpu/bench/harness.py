@@ -96,7 +96,45 @@ def _method_rgp(prep, iters, lr, seed, M, wins, back_cstr=False, mlp=()):
     return res, m, v
 
 
+def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: int,
+                         batch_size: int = 512):
+    """Config 4 (BASELINE.json:10): minibatch SVI on NARX windows with
+    interleaved natural-gradient q(u) updates; scored by the same
+    free-simulation protocol. The whole minibatch loop (index sampling
+    included) runs in one jit/scan — iters/s here IS the config-4 headline."""
+    import jax
+    import optax
+
+    from ..data.windows import narx_design
+    from ..models import svgp
+
+    y_win, u_win = 10, 5
+    X, Yt = narx_design(prep.Y, prep.U, y_win, u_win)
+    cfg = svgp.SVGPConfig(RBF(input_dim=X.shape[1]), num_inducing=M,
+                          output_dim=Yt.shape[1])
+    params = svgp.init_params(cfg, X, noise=0.1, seed=seed)
+    T_total = X.shape[0]
+    bs = min(batch_size, T_total)
+
+    def loss(p, batch):
+        return -svgp.elbo(cfg, p, batch["X"], batch["Y"], T_total=T_total)
+
+    res = train.fit_minibatch(
+        loss, params, {"X": X, "Y": Yt},
+        iters=iters, batch_size=bs, key=jax.random.PRNGKey(seed),
+        optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
+        natgrad_block="qu", natgrad_lr=0.5,
+    )
+    m, v = svgp.freerun_narx(
+        cfg, res.params, y_win, u_win, prep.Y, prep.U, prep.U_test
+    )
+    return res, m, v
+
+
 METHODS: Dict[str, Callable] = {
+    "svgp_natgrad": lambda prep, iters, lr, seed, M: _method_svgp_natgrad(
+        prep, iters, lr, seed, M
+    ),
     "gp_narx": lambda prep, iters, lr, seed, M: _method_gp_narx(prep, iters, lr, seed, M),
     "rgp1": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 10]),
     "rgp2": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 6, 6]),

@@ -470,29 +470,54 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
     if isinstance(kern, RBF):
         Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
         T = mua.shape[0]
-        if block is None or T <= block:
-            return _rbf_psi2_chunk(p, Za, mua, sa)
-        # pad T to a multiple of block with zero-weight (exp -> 0) entries:
-        # padding uses mu=0, s=0 but a mask multiplies the chunk sums.
-        n_chunks = -(-T // block)
-        pad = n_chunks * block - T
-        mup = jnp.pad(mua, ((0, pad), (0, 0)))
-        sp = jnp.pad(sa, ((0, pad), (0, 0)))
-        maskp = jnp.pad(jnp.ones((T,), dtype=mua.dtype), (0, pad))
-        mup = mup.reshape(n_chunks, block, -1)
-        sp = sp.reshape(n_chunks, block, -1)
-        maskp = maskp.reshape(n_chunks, block)
-
-        def step(acc, inp):
-            mu_c, s_c, m_c = inp
-            chunk = _rbf_psi2_masked(p, Za, mu_c, s_c, m_c)
-            return acc + chunk, None
-
         M = Za.shape[0]
-        init = jnp.zeros((M, M), dtype=mua.dtype)
-        out, _ = lax.scan(step, init, (mup, sp, maskp))
-        return out
+        if mua.dtype == jnp.float32 and T * M * M >= _PALLAS_MIN_WORK:
+            # hot-path dispatch: the fused Pallas kernel (fwd + fused backward,
+            # ops/pallas/psi2.py) beats the XLA chunked scan by 12-15% fwd+bwd
+            # above this work size on v5e (measured T=2048/M=256/Q=32: 5.6 vs
+            # 6.3 ms; T=8192: 17.5 vs 20.6). platform_dependent keeps the XLA
+            # branch on CPU/other backends, including jit(device=cpu) baselines.
+            from .pallas.psi2 import rbf_psi2_sum_pallas
+
+            return lax.platform_dependent(
+                p, Za, mua, sa,
+                tpu=lambda p_, Z_, m_, s_: rbf_psi2_sum_pallas(p_, Z_, m_, s_),
+                default=lambda p_, Z_, m_, s_: _rbf_psi2_sum_xla(p_, Z_, m_, s_, block),
+            )
+        return _rbf_psi2_sum_xla(p, Za, mua, sa, block)
     raise NotImplementedError(f"psi2 for kernel {type(kern).__name__}")
+
+
+# Pallas kicks in above this T*M^2 (see dispatch above); below it the
+# materialized/chunked XLA path is latency-optimal (the bench config-1 shape
+# T=512, M=100 stays XLA)
+_PALLAS_MIN_WORK = 1 << 24
+
+
+def _rbf_psi2_sum_xla(p, Za, mua, sa, block):
+    T = mua.shape[0]
+    if block is None or T <= block:
+        return _rbf_psi2_chunk(p, Za, mua, sa)
+    # pad T to a multiple of block with zero-weight (exp -> 0) entries:
+    # padding uses mu=0, s=0 but a mask multiplies the chunk sums.
+    n_chunks = -(-T // block)
+    pad = n_chunks * block - T
+    mup = jnp.pad(mua, ((0, pad), (0, 0)))
+    sp = jnp.pad(sa, ((0, pad), (0, 0)))
+    maskp = jnp.pad(jnp.ones((T,), dtype=mua.dtype), (0, pad))
+    mup = mup.reshape(n_chunks, block, -1)
+    sp = sp.reshape(n_chunks, block, -1)
+    maskp = maskp.reshape(n_chunks, block)
+
+    def step(acc, inp):
+        mu_c, s_c, m_c = inp
+        chunk = _rbf_psi2_masked(p, Za, mu_c, s_c, m_c)
+        return acc + chunk, None
+
+    M = Za.shape[0]
+    init = jnp.zeros((M, M), dtype=mua.dtype)
+    out, _ = lax.scan(step, init, (mup, sp, maskp))
+    return out
 
 
 def _chunked_per_t_sum(per_t_fn, Z, mu, s, block):

@@ -32,3 +32,11 @@ def test_harness_run_smoke():
     assert np.isfinite(out2["freerun_rmse"])
     # free simulation should at least beat the zero predictor after a tiny fit
     assert out2["freerun_rmse"] < 5 * out2["zero_predictor_rmse"]
+
+
+def test_harness_svgp_natgrad_smoke():
+    """Config-4 method (BASELINE.json:10): minibatch SVI + natgrad trains and
+    free-runs through the same evaluation protocol."""
+    out = harness.run("gas_furnace", "svgp_natgrad", iters=60, num_inducing=8)
+    assert np.isfinite(out["freerun_rmse"])
+    assert out["elbo_last"] > out["elbo_first"]

@@ -35,24 +35,45 @@ def test_pallas_psi2_matches_reference(rng, T, M, Q):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
 
 
-def test_pallas_psi2_grad_path(rng):
-    """custom_vjp backward (XLA reference VJP) produces correct gradients."""
+@pytest.mark.parametrize("T,M,Q", [(40, 24, 3), (65, 130, 5)])  # non-tile-aligned
+def test_pallas_psi2_fused_backward_matches_autodiff(rng, T, M, Q):
+    """The fully-fused Pallas backward (recompute-in-tile, _psi2_bwd_kernel)
+    reproduces autodiff-of-the-XLA-reference cotangents for every input."""
     from rgp_tpu.ops.pallas import psi2 as pp
 
-    T, M, Q = 12, 6, 2
     kern = RBF(input_dim=Q)
     p = kern.init(dtype=jnp.float64)
     mu = jnp.asarray(rng.standard_normal((T, Q)))
     s = jnp.asarray(rng.uniform(0.05, 0.4, (T, Q)))
     Z = jnp.asarray(rng.standard_normal((M, Q)))
-    W = jnp.asarray(rng.standard_normal((M, M)))
+    G = jnp.asarray(rng.standard_normal((M, M)))
 
-    def f_ref(mu_):
-        return jnp.sum(psi_statistics(kern, p, Z, mu_, s, block=None).psi2 * W)
+    def f_ref(p_, Z_, mu_, s_):
+        return jnp.sum(psi_statistics(kern, p_, Z_, mu_, s_, block=None).psi2 * G)
 
-    # backward of the pallas op is defined as the reference VJP; check the
-    # _bwd plumbing returns the same cotangents as direct autodiff
-    _, vjp = jax.vjp(lambda mu_: pp._reference_psi2(p, Z, mu_, s), mu)
-    g_ref = jax.grad(f_ref)(mu)
-    (g_via,) = vjp(W)
-    np.testing.assert_allclose(np.asarray(g_via), np.asarray(g_ref), rtol=1e-8)
+    gp_ref, gZ_ref, gmu_ref, gs_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(p, Z, mu, s)
+
+    # replicate pp._bwd with interpret=True (CPU)
+    out = psi_statistics(kern, p, Z, mu, s, block=None).psi2
+    (base, E, D1, w), vjp_pre = jax.vjp(pp.rbf_psi2_precompute, p, Z, mu, s)
+    Gs = (G + G.T).astype(jnp.float32)
+    dbase, dE, dw, dzc = pp._psi2_bwd_raw(
+        base.astype(jnp.float32), E.astype(jnp.float32), D1.astype(jnp.float32),
+        w.astype(jnp.float32), Z.astype(jnp.float32), Gs,
+        bt=8, bm=64, interpret=True,
+    )
+    dD1 = -(out * G).astype(jnp.float32)
+    dp, dZ, dmu, ds = vjp_pre((
+        dbase.astype(base.dtype), dE.astype(E.dtype),
+        dD1.astype(D1.dtype), dw.astype(w.dtype),
+    ))
+    dZ = dZ + dzc.astype(dZ.dtype)
+
+    # f32 kernel vs f64 autodiff: tolerances at f32 resolution
+    np.testing.assert_allclose(np.asarray(dmu), np.asarray(gmu_ref), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(gs_ref), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dZ), np.asarray(gZ_ref), rtol=3e-4, atol=3e-4)
+    for k in gp_ref:
+        np.testing.assert_allclose(
+            np.asarray(dp[k]), np.asarray(gp_ref[k]), rtol=3e-4, atol=3e-4
+        )
