@@ -37,11 +37,13 @@ def _setup(dtype):
     return cfg, params, Y, U, Ut, sy, d
 
 
-# whitening-refresh interval: the spectral whitening eigh (M=100: ~340us on
-# v5e vs the ~600us full step) is amortized over this many Adam steps; a stale
-# basis is still a valid ELBO of a nearby clamp-regularized model (rgp.py
-# compute_whitenings docstring), and hyperparameters drift slowly at lr 1e-2
-_WHITEN_EVERY = 25
+# whitening-refresh interval: the spectral whitening eigh (~680us/refresh at
+# M=100 incl. the floor-ladder trials, vs the ~600us bound step) is amortized
+# over this many Adam steps; a stale basis still yields the EXACT bound of the
+# current hyperparameters (collapsed_vi._common recomputes Kt = W^T Kmm W from
+# the live Kmm — only conditioning degrades with drift), and hyperparameters
+# move slowly at lr 1e-2, so 100 steps costs ~7us/step of eigh instead of ~27
+_WHITEN_EVERY = 100
 
 
 def _timed_fit(cfg, params, Y, U, iters, lr, device=None):
@@ -81,12 +83,16 @@ def _timed_fit(cfg, params, Y, U, iters, lr, device=None):
 
     run_jit = jax.jit(run, static_argnums=1, device=device)
     # compile at the measured scan length first (a different length would
-    # recompile and pollute the timing), then time the cached executable
+    # recompile and pollute the timing), then time the cached executable.
+    # Sync by HOST READ of one loss element: on the tunneled axon backend
+    # ``block_until_ready`` can return before the remote execution finishes
+    # (measured: 0.03 ms for a 2.7 ms kernel), so it cannot delimit a timing
+    # region; a scalar device->host transfer is the only reliable barrier.
     p, losses = run_jit(params, iters)
-    jax.block_until_ready(losses)
+    float(losses[-1])
     t0 = time.perf_counter()
     p, losses = run_jit(params, iters)
-    jax.block_until_ready(losses)
+    float(losses[-1])
     dt = time.perf_counter() - t0
     return p, losses, iters / dt
 
@@ -201,6 +207,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: the 10k-iter scan body compiles once per shape;
+    # reruns (driver, restarts) hit the cache instead of a multi-minute compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rgp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.cpu_solo:
         jax.config.update("jax_platforms", "cpu")

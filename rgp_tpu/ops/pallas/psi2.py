@@ -19,19 +19,23 @@ Decomposition (Appendix A.2): with w = 1/(l^2 + 2s),
 base/E/D1 are cheap O(TM) precomputations left to XLA (fused into neighbors);
 the kernel owns the O(T M^2 Q) contraction + exp + reduction.
 
-Gradients: ``rbf_psi2_sum`` carries a custom VJP whose backward contracts the
-recomputed per-tile probabilities against the cotangent using the same
-chunked-jnp path as the reference implementation (XLA-fused); a fully-Pallas
-backward is a future optimization.
+Gradients: ``rbf_psi2_sum_pallas`` carries a custom VJP whose backward is a
+fully fused Pallas kernel (:func:`_psi2_bwd_kernel`): the per-tile
+probabilities P are RECOMPUTED in-tile (never stored) and contracted against
+the symmetrized cotangent on the MXU, emitting dbase/dE/dw and the C-term's
+direct dZ; the cheap chain through the XLA-side precompute closes the VJP.
 
 MEASUREMENT (P6 discipline — "only keep kernels that beat XLA"): on TPU v5e,
-T=2048 M=256 Q=24 f32: XLA chunked einsum 2.7 ms vs this kernel 2.7 ms at
-HIGHEST matmul precision (2.2 ms at DEFAULT bf16 precision, but the 2e-3
-relative error is unacceptable for bound stability — see the f32 Psi2
-indefiniteness analysis in inference/collapsed_vi.py). Both implementations
-sit near the VPU-exp roofline for this op shape, so the kernel is kept as an
-optional, tested path (not wired as the default) and the fusion headroom is
-documented for the gather-fused variant.
+f32, HIGHEST matmul precision, fwd+bwd vs the XLA chunked scan:
+T=2048/M=256/Q=32: 5.60 vs 6.34 ms (-12%); T=8192/M=256/Q=32: 17.5 vs 20.6 ms
+(-15%); forward alone ties (2.7 vs 2.7 ms at T=2048/M=256/Q=24 — both near
+the VPU-exp roofline). The win comes from the backward never materializing
+the (T, M, M) forward residual + cotangent in HBM. Wired as the DEFAULT on
+TPU above T*M^2 >= 2^24 (`ops/psi_stats.py` platform_dependent dispatch);
+gradients agree with autodiff to ~4e-7 relative (tests/test_pallas.py).
+(DEFAULT bf16 matmul precision would give 2.2 ms fwd but its 2e-3 relative
+error is unacceptable for bound stability — see the f32 Psi2 indefiniteness
+analysis in inference/collapsed_vi.py.)
 """
 
 from __future__ import annotations

@@ -201,7 +201,7 @@ def fit_minibatch(
     learning_rate: float = 1e-2,
     optimizer: Optional[optax.GradientTransformation] = None,
     natgrad_block: Optional[str] = None,
-    natgrad_lr: float = 0.1,
+    natgrad_lr=0.1,  # float or callable(step_index) -> float (decay schedule)
     natgrad_loss: Optional[Callable] = None,
     jit: bool = True,
 ) -> FitResult:
@@ -216,7 +216,10 @@ def fit_minibatch(
     updated by a natural-gradient step (SURVEY.md A.5, config 4) interleaved
     with each Adam step on the remaining parameters; the Adam step sees the
     block's gradient zeroed. ``natgrad_loss(params, batch) -> scalar`` defaults
-    to ``loss_fn``'s negation (ELBO ascent).
+    to ``loss_fn``'s negation (ELBO ascent). ``natgrad_lr`` may be a float or
+    a schedule ``callable(step_index) -> float``: decaying the natural step
+    (Hoffman et al. 2013 SVI) controls the overshoot that fixed steps suffer
+    once the likelihood noise is small and the problem stiffens.
     """
     from .inference.natgrad import natgrad_step
 
@@ -227,7 +230,8 @@ def fit_minibatch(
     def run(p0, key):
         state0 = opt.init(p0)
 
-        def step(carry, k):
+        def step(carry, ki):
+            k, i = ki
             p, s = carry
             idx = jax.random.randint(k, (batch_size,), 0, n_total)
             batch = jax.tree.map(lambda a: a[idx], data)
@@ -238,16 +242,18 @@ def fit_minibatch(
             updates, s = opt.update(g, s, p)
             p = optax.apply_updates(p, updates)
             if natgrad_block is not None:
+                lr_t = natgrad_lr(i) if callable(natgrad_lr) else natgrad_lr
                 blk = natgrad_step(
                     lambda q: ng_loss({**p, natgrad_block: q}, batch),
                     p[natgrad_block],
-                    natgrad_lr,
+                    lr_t,
                 )
                 p = {**p, natgrad_block: blk}
             return (p, s), loss
 
         keys = jax.random.split(key, iters)
-        (p, _), losses = jax.lax.scan(step, (p0, state0), keys)
+        steps_i = jnp.arange(iters)
+        (p, _), losses = jax.lax.scan(step, (p0, state0), (keys, steps_i))
         return p, losses
 
     if jit:
