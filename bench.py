@@ -39,10 +39,12 @@ def _setup(dtype):
 
 # whitening-refresh interval: the spectral whitening eigh (~680us/refresh at
 # M=100 incl. the floor-ladder trials, vs the ~600us bound step) is amortized
-# over this many Adam steps; a stale basis still yields the EXACT bound of the
-# current hyperparameters (collapsed_vi._common recomputes Kt = W^T Kmm W from
-# the live Kmm — only conditioning degrades with drift), and hyperparameters
-# move slowly at lr 1e-2, so 100 steps costs ~7us/step of eigh instead of ~27
+# over this many Adam steps; a stale basis yields the exact bound of the
+# current hyperparameters when no spectral-floor topup is active
+# (collapsed_vi._common recomputes Kt = W^T Kmm W from the live Kmm), and
+# otherwise a valid ELBO of a nearby clamp-regularized model frozen at the
+# stale linearization point; hyperparameters move slowly at lr 1e-2, so 100
+# steps costs ~7us/step of eigh instead of ~27
 _WHITEN_EVERY = 100
 
 
@@ -163,20 +165,27 @@ def _fit_restarts(cfg, Y, U, iters, lr, seeds, dtype):
     return p_best, [float(x) for x in elbos]
 
 
-def _device_responsive(timeout: int = 240, retries: int = 3, backoff: int = 30) -> bool:
+def _device_responsive(timeouts=(240, 300, 360, 480, 600),
+                       backoffs=(30, 60, 120, 240)):
     """Probe the default backend from a SUBPROCESS with a hard timeout.
 
     The axon TPU tunnel can wedge (a lost client's grant blocks new claims for
     a while, e.g. right after another process exits); a hung device would
-    otherwise hang the whole benchmark. The probe RETRIES with backoff before
-    giving up — transient wedges usually clear within a couple of minutes, and
-    a spurious CPU fallback would wreck the recorded headline metric.
+    otherwise hang the whole benchmark. The probe RETRIES with exponential
+    backoff — total budget ~25-30 min before surrender (round-2 verdict #1:
+    a 13.5-min budget gave up on a wedge that cleared later, and the official
+    record became a misleading 300-iter CPU number). Returns (ok, diag) where
+    ``diag`` records every attempt for the benchmark's ``details``.
     """
     import subprocess
     import sys
     import time as _time
 
-    for attempt in range(retries):
+    diag = {"probe_attempts": 0, "probe_timeouts_s": list(timeouts),
+            "probe_elapsed_s": 0.0, "probe_failures": []}
+    t_start = _time.perf_counter()
+    for attempt, timeout in enumerate(timeouts):
+        diag["probe_attempts"] = attempt + 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
@@ -184,12 +193,15 @@ def _device_responsive(timeout: int = 240, retries: int = 3, backoff: int = 30) 
                 timeout=timeout, capture_output=True,
             )
             if r.returncode == 0:
-                return True
+                diag["probe_elapsed_s"] = round(_time.perf_counter() - t_start, 1)
+                return True, diag
+            diag["probe_failures"].append(f"rc={r.returncode}")
         except subprocess.TimeoutExpired:
-            pass
-        if attempt < retries - 1:
-            _time.sleep(backoff)
-    return False
+            diag["probe_failures"].append(f"timeout@{timeout}s")
+        if attempt < len(timeouts) - 1:
+            _time.sleep(backoffs[min(attempt, len(backoffs) - 1)])
+    diag["probe_elapsed_s"] = round(_time.perf_counter() - t_start, 1)
+    return False, diag
 
 
 def main():
@@ -223,11 +235,14 @@ def main():
         return
 
     fallback = False
-    if not args.no_probe and not _device_responsive():
-        jax.config.update("jax_platforms", "cpu")
-        fallback = True
-        args.iters = min(args.iters, 300)  # CPU fallback budget
-        args.skip_cpu_baseline = True
+    probe_diag = None
+    if not args.no_probe:
+        ok, probe_diag = _device_responsive()
+        if not ok:
+            jax.config.update("jax_platforms", "cpu")
+            fallback = True
+            args.iters = min(args.iters, 300)  # CPU fallback budget
+            args.skip_cpu_baseline = True
 
     import jax.numpy as jnp
 
@@ -295,6 +310,43 @@ def main():
             "restart_final_elbos": None if finals is None else [round(x, 1) for x in finals],
         },
     }
+    if probe_diag is not None:
+        result["details"].update(probe_diag)
+
+    if fallback:
+        # The wedge may have cleared while the (~1 min) CPU fallback ran —
+        # re-probe, and if the TPU is back, the REAL measurement replaces the
+        # fallback record entirely (round-2 verdict #1: the fallback number
+        # must never stand as the official metric when the TPU is reachable).
+        ok2, diag2 = _device_responsive(timeouts=(240, 300, 480),
+                                        backoffs=(30, 120))
+        if ok2:
+            import os
+            import subprocess
+            import sys
+
+            env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+            r = subprocess.run(
+                [sys.executable, __file__, "--no-probe"],
+                capture_output=True, timeout=7200, env=env,
+            )
+            try:
+                retry = json.loads(r.stdout.decode().strip().splitlines()[-1])
+                retry["details"]["recovered_after_fallback"] = True
+                retry["details"].update(probe_diag or {})
+                print(json.dumps(retry))
+                return
+            except Exception:
+                result["details"]["fallback_reason"] = (
+                    "tpu probe exhausted; recovery rerun failed "
+                    f"(rc={r.returncode})"
+                )
+        else:
+            result["details"]["fallback_reason"] = (
+                "tpu probe exhausted twice (pre- and post-fallback); "
+                "device unreachable this round"
+            )
+            result["details"]["post_fallback_probe"] = diag2
     print(json.dumps(result))
 
 

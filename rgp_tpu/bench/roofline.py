@@ -334,11 +334,14 @@ def capture_trace(log_dir: str, T: int = 2048, M: int = 256, Q: int = 32):
         return collapsed_bound(kern, p, Z, jnp.asarray(0.0, jnp.float32), stats, Y)
 
     f = jax.jit(jax.value_and_grad(bound, argnums=(0, 1, 2, 3)))
-    jax.block_until_ready(f(p, Z, mu, s))
+    # _host_sync, not block_until_ready: on the tunneled backend the latter
+    # returns before remote execution completes (see _host_sync docstring),
+    # which would let the trace context exit with iterations still in flight
+    _host_sync(f(p, Z, mu, s))
     with jax.profiler.trace(log_dir):
         for _ in range(10):
             out = f(p, Z, mu, s)
-        jax.block_until_ready(out)
+        _host_sync(out)
     return _parse_op_stats(log_dir)
 
 

@@ -350,10 +350,18 @@ def posterior(
     Y,
     *,
     jitter: Optional[float] = None,
+    certain: bool = False,
 ) -> SparsePosterior:
+    """``certain``: set when the inputs were certain (s = 0) — Ct is then
+    assembled from the PSD factor Psi1 exactly as :func:`collapsed_bound` does
+    (the normal-equations form loses ~1 nat of f32 logdet/solve accuracy on
+    ill-conditioned NARX instances; predictions must match the bound's
+    factorization, not a less accurate one)."""
     noise = positive(log_noise)
-    _, Wb, Lk, Lc, _, beta = _common(kern, kp, Z, stats.psi2, noise, jitter,
-                                     need_trace=False)
+    _, Wb, Lk, Lc, _, beta = _common(
+        kern, kp, Z, stats.psi2, noise, jitter, need_trace=False,
+        psi1_factor=stats.psi1 if certain else None,
+    )
 
     psi1Y = hdot(stats.psi1.T, Y)
     # beta C^{-1} Psi1^T Y through the whitened basis: C^{-1} = Wb Ct^{-1} Wb^T

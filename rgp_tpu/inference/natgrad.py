@@ -41,6 +41,15 @@ def natgrad_step(elbo_of_qu: Callable, qu, lr: float):
     """One natural-gradient ascent step on q(u).
 
     ``elbo_of_qu(qu_pytree) -> scalar``. Returns the updated qu pytree.
+
+    Cost note: the backtracking guard below evaluates all three candidate
+    scales unconditionally (no early exit exists under jit), tripling the
+    natural->moment conversion (Cholesky + solves) relative to an unguarded
+    step — accepted, since the conversion is O(D M^3) with M ~ 100 and the
+    ELBO/grad evaluation dominates. The finiteness test is a single global
+    ``ok`` over all D output dims: one non-finite dim rejects the whole
+    candidate scale (conservative; healthy dims then also take the smaller
+    step, which only slows — never breaks — their convergence).
     """
     m, S, _ = qu_moments(qu)  # m (M, D), S (D, M, M)
     M, D = m.shape

@@ -72,7 +72,8 @@ def freerun(
     X, Yt = narx_design(Y_train, U_train, cfg.y_win, cfg.u_win)
     stats = psi_statistics(cfg.kernel, params["kern"], params["Z"], X, None, block=None)
     post = posterior(
-        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Yt
+        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Yt,
+        certain=True,
     )
     kern, kp, Z, ln = cfg.kernel, params["kern"], params["Z"], params["log_noise"]
     Dy = Y_train.shape[1]

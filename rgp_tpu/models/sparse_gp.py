@@ -85,7 +85,8 @@ def elbo(cfg: SparseGPConfig, params, X, Y, *, block=None):
 def _posterior(cfg: SparseGPConfig, params, X, Y) -> SparsePosterior:
     stats = psi_statistics(cfg.kernel, params["kern"], params["Z"], X, None, block=None)
     return posterior(
-        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Y
+        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Y,
+        certain=True,
     )
 
 

@@ -97,11 +97,14 @@ def sequence_sharded_rgp_elbo(
         repl = 0.0   # identical on every device
         local = 0.0  # this shard's own contribution
 
-        # encoder means are amortized from (Y, U) windows — build them locally
-        # with halo'd observations when back-constraints are on
-        mu_ts = []
+        # encoder moments are amortized from (Y, U) windows — build them
+        # locally with halo'd observations when back-constraints are on;
+        # with ``amortize_var`` the encoder output doubles to (mu, log-var)
+        # per latent dim, exactly as models/rgp._hidden_moments does
+        mu_ts, lam_ts = [], []
         for h, spec in enumerate(specs):
             lp = p["layers"][h]
+            lam_t = jnp.exp(lp["log_lam"])
             if cfg.back_cstr:
                 feats = []
                 if spec.win > 0:
@@ -116,16 +119,24 @@ def sequence_sharded_rgp_elbo(
                     )
                     feats.append(_windows_local(U_loc, haloU, cfg.u_win, "current"))
                 enc_in = jnp.concatenate(feats, axis=-1)
-                mu_ts.append(mlp_apply(p["encoder"][h], enc_in))
+                out = mlp_apply(p["encoder"][h], enc_in)
+                if cfg.amortize_var:
+                    mu_ts.append(out[:, : spec.q_dim])
+                    lam_t = jnp.exp(
+                        out[:, spec.q_dim:] + rgp_model._LOG_LAM_BIAS
+                    )
+                else:
+                    mu_ts.append(out)
             else:
                 mu_ts.append(lp["mu"])
+            lam_ts.append(lam_t)
 
         mu_lower = lam_lower = None
         for h, spec in enumerate(specs):
             lp = p["layers"][h]
             L = spec.win
             mu_t = mu_ts[h]
-            lam_t = jnp.exp(lp["log_lam"])
+            lam_t = lam_ts[h]
 
             # own lag windows: halo = left neighbor's last L latents;
             # the FIRST shard's halo is the initial window mu0 (most recent

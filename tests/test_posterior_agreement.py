@@ -51,6 +51,7 @@ def test_hmc_and_nuts_agree_on_gp_posterior(rng):
     np.testing.assert_allclose(s_h.std(0), s_n.std(0), rtol=0.3)
 
 
+@pytest.mark.slow
 def test_rgp_hyperparameter_posterior_agreement(rng):
     """Flagship-model posterior agreement (VERDICT r1 #10; BASELINE.md
     'posterior agreement' row): HMC (the reference-parity sampler,

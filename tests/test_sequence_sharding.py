@@ -13,7 +13,7 @@ from rgp_tpu.parallel import mesh as pmesh
 from rgp_tpu.parallel.sequence import sequence_sharded_rgp_elbo
 
 
-def _setup(H=1, back_cstr=False, T=64):
+def _setup(H=1, back_cstr=False, T=64, amortize_var=False):
     d = datasets.narendra(T=2 * T, seed=0)
     sy, su = Standardizer.fit(d.y_train), Standardizer.fit(d.u_train)
     Y = jnp.asarray(sy.transform(d.y_train), jnp.float64)
@@ -21,6 +21,7 @@ def _setup(H=1, back_cstr=False, T=64):
     cfg = rgp.deep_rgp_config(
         wins=[0] + [3] * H, u_win=2, y_dim=1, u_dim=1, num_inducing=8,
         back_cstr=back_cstr, mlp_hidden=(8,) if back_cstr else (),
+        amortize_var=amortize_var,
     )
     params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
     return cfg, params, Y, U
@@ -42,6 +43,29 @@ def test_sequence_sharded_elbo_matches(H, back_cstr):
     mesh = pmesh.make_mesh(data=8)
     out = float(sequence_sharded_rgp_elbo(cfg, params, Y, U, mesh))
     np.testing.assert_allclose(out, ref, rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_sequence_sharded_amortized_var_matches():
+    """back_cstr + amortize_var: the sharded path must amortize the q(X)
+    VARIANCES through the encoder exactly as models/rgp._hidden_moments does
+    (round-2 verdict weak #4: it silently used the free log_lam instead).
+    Values AND grads, f64."""
+    cfg, params, Y, U = _setup(H=1, back_cstr=True, amortize_var=True)
+    mesh = pmesh.make_mesh(data=8)
+
+    ref = float(rgp.elbo(cfg, params, Y, U, block=None))
+    out = float(jax.jit(
+        lambda p: sequence_sharded_rgp_elbo(cfg, p, Y, U, mesh)
+    )(params))
+    np.testing.assert_allclose(out, ref, rtol=1e-9)
+
+    g_ref = jax.grad(lambda p: rgp.elbo(cfg, p, Y, U, block=None))(params)
+    g_seq = jax.jit(
+        jax.grad(lambda p: sequence_sharded_rgp_elbo(cfg, p, Y, U, mesh))
+    )(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-9)
 
 
 def test_sequence_sharded_gradients_match():
