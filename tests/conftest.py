@@ -25,8 +25,13 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the sharding gates compile large shard_map
 # graphs (eigh ladder x layers x fwd/bwd) — cold-compiling them dominated the
-# 30-minute round-1 suite wall time; warm runs hit this cache instead
-jax.config.update("jax_compilation_cache_dir", "/tmp/rgp_tpu_jax_cache")
+# 30-minute round-1 suite wall time; warm runs hit this cache instead.
+# RGP_TEST_CACHE_DIR overrides the location (point it at an empty dir to
+# measure true cold-suite wall time without disturbing the shared cache).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("RGP_TEST_CACHE_DIR", "/tmp/rgp_tpu_jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -17,7 +17,7 @@ def _setup(rng, T=5, M=4, Q=3):
     return mu, s, Z
 
 
-def _mc_psi(kern, p, Z, mu, s, n_samples=400_000, seed=0):
+def _mc_psi(kern, p, Z, mu, s, n_samples=150_000, seed=0):
     """Monte-Carlo estimates of Psi0/Psi1/Psi2 per t."""
     key = jax.random.PRNGKey(seed)
     T, Q = mu.shape
@@ -137,7 +137,7 @@ def test_cross_psi2_vs_monte_carlo(rng, kern_fn):
     mu, s, Z = _setup(rng)
     stats = psi_statistics(kern, p, Z, mu, s, block=None)
     p2t = psi2_per_t(kern, p, Z, mu, s)
-    mc0, mc1, mc2 = _mc_psi(kern, p, Z, mu, s, n_samples=600_000)
+    mc0, mc1, mc2 = _mc_psi(kern, p, Z, mu, s, n_samples=250_000)
     np.testing.assert_allclose(np.asarray(stats.psi0), mc0, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(stats.psi1), mc1, rtol=3e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(p2t), mc2, rtol=8e-2, atol=6e-2)
@@ -194,7 +194,7 @@ def test_prod_disjoint_psi_vs_monte_carlo(rng):
     mu, s, Z = _setup(rng)
     stats = psi_statistics(kern, p, Z, mu, s, block=None)
     p2t = psi2_per_t(kern, p, Z, mu, s)
-    mc0, mc1, mc2 = _mc_psi(kern, p, Z, mu, s, n_samples=600_000)
+    mc0, mc1, mc2 = _mc_psi(kern, p, Z, mu, s, n_samples=250_000)
     np.testing.assert_allclose(np.asarray(stats.psi0), mc0, rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(stats.psi1), mc1, rtol=3e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(p2t), mc2, rtol=8e-2, atol=6e-2)

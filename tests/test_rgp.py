@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rgp_tpu.data import datasets
 from rgp_tpu.data.windows import Standardizer
@@ -70,26 +71,28 @@ def test_rgp_checkgrad_back_cstr():
     assert res.max_rel_err < 3e-4, res.max_rel_err
 
 
-def test_training_improves_elbo():
-    Y, U, _, _ = _small_data()
+@pytest.fixture(scope="module")
+def fitted_1layer():
+    """One shared short fit for the training/freerun tests (round-2 verdict
+    weak #6: each test paying its own fit+compile dominated the fast lane)."""
+    Y, U, Yt, Ut = _small_data()
     cfg = _cfg(H=1)
     params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
     res = train.fit_adam(
         lambda p: -rgp.elbo(cfg, p, Y, U, block=None), params, iters=100,
         learning_rate=1e-2,
     )
+    return cfg, res, Y, U, Yt, Ut
+
+
+def test_training_improves_elbo(fitted_1layer):
+    _, res, *_ = fitted_1layer
     assert float(res.losses[-1]) < float(res.losses[0])
     assert np.isfinite(np.asarray(res.losses)).all()
 
 
-def test_freerun_shapes_and_finiteness():
-    Y, U, Yt, Ut = _small_data()
-    cfg = _cfg(H=1)
-    params = rgp.init_params(cfg, Y, U, dtype=jnp.float64)
-    res = train.fit_adam(
-        lambda p: -rgp.elbo(cfg, p, Y, U, block=None), params, iters=50,
-        learning_rate=1e-2,
-    )
+def test_freerun_shapes_and_finiteness(fitted_1layer):
+    cfg, res, Y, U, Yt, Ut = fitted_1layer
     m, v = rgp.freerun(cfg, res.params, Y, U, Ut)
     assert m.shape == Yt.shape
     assert v.shape == Yt.shape

@@ -30,9 +30,9 @@ def _setup(H=1, back_cstr=False, T=64, amortize_var=False):
 @pytest.mark.parametrize(
     "H,back_cstr",
     [
-        (1, False),
         # the deep and back-constrained variants compile the largest shard_map
-        # graphs in the suite (~3 min each cold) — slow lane only
+        # graphs in the suite (~3 min each cold) — slow lane only; the H=1
+        # fast-lane case is covered (value AND grad, one compile) below
         pytest.param(2, False, marks=pytest.mark.slow),
         pytest.param(1, True, marks=pytest.mark.slow),
     ],
@@ -68,15 +68,20 @@ def test_sequence_sharded_amortized_var_matches():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-9)
 
 
-def test_sequence_sharded_gradients_match():
+def test_sequence_sharded_value_and_gradients_match():
+    """Value AND gradient equality in ONE compiled value_and_grad (round-2
+    verdict weak #6: two separate tests paid two shard_map compile storms)."""
     cfg, params, Y, U = _setup(H=1)
     mesh = pmesh.make_mesh(data=8)
 
-    g_ref = jax.grad(lambda p: rgp.elbo(cfg, p, Y, U, block=None))(params)
+    v_ref, g_ref = jax.value_and_grad(
+        lambda p: rgp.elbo(cfg, p, Y, U, block=None)
+    )(params)
     # grad-of-shard_map must run under jit (eager transpose trips an XLA
     # sharding assert on this jax version)
-    g_seq = jax.jit(
-        jax.grad(lambda p: sequence_sharded_rgp_elbo(cfg, p, Y, U, mesh))
+    v_seq, g_seq = jax.jit(
+        jax.value_and_grad(lambda p: sequence_sharded_rgp_elbo(cfg, p, Y, U, mesh))
     )(params)
+    np.testing.assert_allclose(float(v_seq), float(v_ref), rtol=1e-9)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
