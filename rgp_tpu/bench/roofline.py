@@ -104,9 +104,22 @@ def calibrate(n: int = 4096) -> dict:
     t_bw = _timeit(triad, x, y, iters=10)
     bytes_moved = 3.0 * 4.0 * m
 
-    # VPU transcendental: exp on a big array (1 read + 1 write)
-    expf = jax.jit(lambda x: jnp.exp(x))
-    t_exp = _timeit(expf, x, iters=10)
+    # VPU transcendental: K CHAINED exps fused into one kernel, so HBM traffic
+    # (2 passes over the array) is amortized over K exps and the measurement
+    # is VPU-bound, not bandwidth-bound. (A single exp over a big array is
+    # pure HBM stream — the round-2 artifact calibrated THAT, yielding a 16x
+    # understated ceiling and >1000% "utilizations" for the exp-dominated
+    # psi2 ops.) The tiny multiplier keeps values ~1 so nothing overflows.
+    K = 64
+    me = 8 * 1024 * 1024
+
+    def exp_chain(x):
+        for _ in range(K):
+            x = jnp.exp(x * 1e-6)
+        return x
+
+    expf = jax.jit(exp_chain)
+    t_exp = _timeit(expf, x[:me], iters=10)
 
     dev = jax.devices()[0]
     return {
@@ -116,7 +129,7 @@ def calibrate(n: int = 4096) -> dict:
         "matmul_f32_highest_flops": flops / t32h,
         "matmul_bf16_flops": flops / t16,
         "hbm_bandwidth_bytes": bytes_moved / t_bw,
-        "exp_per_sec": m / t_exp,
+        "exp_per_sec": me * K / t_exp,
     }
 
 
@@ -241,8 +254,23 @@ def measure_ops(T: int = 2048, M: int = 256, Q: int = 32) -> list[dict]:
         t,
         mxu_flops=3.0 * 2.0 * T * M * M * Q,
         exps=2.0 * T * M * M,
-        bytes_min=B * (2 * (2 * T * Q + M * Q) + M * M + 2 * T * M * M),
-        note="XLA VJP materializes (T,M,M) fwd residual + cotangent",
+        bytes_min=B * (2 * (2 * T * Q + M * Q) + M * M),
+        note="single-chunk expression; XLA fuses/remats the (T,M,M) chain "
+             "(measured traffic is nowhere near a materialized residual)",
+    )
+
+    def loss_xla_scan(p, Z, mu, s):
+        return jnp.sum(ps._rbf_psi2_sum_xla(p, Z, mu, s, 128))
+
+    f = jax.jit(jax.grad(loss_xla_scan, argnums=(0, 1, 2, 3)))
+    t = _timeit(f, p, Z, mu, s)
+    add(
+        "psi2_fwd_bwd_xla_scan128",
+        t,
+        mxu_flops=3.0 * 2.0 * T * M * M * Q,
+        exps=2.0 * T * M * M,
+        bytes_min=B * (2 * (2 * T * Q + M * Q) + M * M),
+        note="chunked lax.scan accumulation (block=128)",
     )
 
     # Cholesky + triangular solve + eigh at (M, M)
@@ -345,27 +373,65 @@ def capture_trace(log_dir: str, T: int = 2048, M: int = 256, Q: int = 32):
     return _parse_op_stats(log_dir)
 
 
-def _parse_op_stats(log_dir: str, top: int = 15):
-    """Best-effort per-op time table from the captured xplane."""
+_PARSE_SNIPPET = r"""
+import collections, glob, json, sys
+paths = sorted(glob.glob(sys.argv[1] + "/**/*.xplane.pb", recursive=True))
+if not paths:
+    print(json.dumps(None)); raise SystemExit
+# Parse the XSpace proto DIRECTLY (the tensorboard_plugin_profile converter
+# needs a pywrap symbol absent from the baked tensorflow) and aggregate the
+# device plane's "XLA Ops" line by op name.
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
+xs = xplane_pb2.XSpace()
+with open(paths[-1], "rb") as fh:
+    xs.ParseFromString(fh.read())
+out = []
+for pl in xs.planes:
+    if not pl.name.startswith("/device:"):
+        continue
+    for line in pl.lines:
+        if line.name != "XLA Ops":
+            continue
+        agg = collections.Counter(); cnt = collections.Counter()
+        for e in line.events:
+            name = pl.event_metadata[e.metadata_id].name
+            agg[name] += e.duration_ps / 1e9
+            cnt[name] += 1
+        total = sum(agg.values())
+        rows = [
+            {"op": n[:120], "ms": round(ms, 4), "count": cnt[n],
+             "frac": round(ms / total, 4)}
+            for n, ms in agg.most_common(int(sys.argv[2]))
+        ]
+        out.append({"plane": pl.name, "total_ms": round(total, 3),
+                    "n_events": len(line.events), "top_ops": rows})
+print(json.dumps(out))
+"""
+
+
+def _parse_op_stats(log_dir: str, top: int = 20):
+    """Per-op device-time table aggregated straight from the xplane proto.
+
+    Runs in a SUBPROCESS with PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python:
+    the generated protos predate the installed protobuf's C++ fastpath
+    (Descriptor error), and the env var only takes effect before
+    google.protobuf is first imported — too late in a process where jax and
+    friends are already up.
+    """
     try:
-        import glob
+        import os
+        import subprocess
+        import sys
 
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-        paths = sorted(glob.glob(f"{log_dir}/**/*.xplane.pb", recursive=True))
-        if not paths:
-            return None
-        data, _ = rtd.xspace_to_tool_data([paths[-1]], "framework_op_stats^", {})
-        import gzip
-        import io
-
-        if isinstance(data, bytes):
-            try:
-                data = gzip.decompress(data)
-            except OSError:
-                pass
-            data = data.decode("utf-8", "replace")
-        return json.loads(data) if data.lstrip().startswith(("{", "[")) else data[:4000]
+        env = {**os.environ, "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION": "python",
+               "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run(
+            [sys.executable, "-c", _PARSE_SNIPPET, log_dir, str(top)],
+            capture_output=True, timeout=600, env=env, text=True,
+        )
+        if r.returncode != 0:
+            return f"op-stats extraction failed: {r.stderr[-500:]}"
+        return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception as e:  # plugin/version drift must not sink the report
         return f"op-stats extraction unavailable: {type(e).__name__}: {e}"
 

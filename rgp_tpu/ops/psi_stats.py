@@ -471,12 +471,11 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
         Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
         T = mua.shape[0]
         M = Za.shape[0]
-        if mua.dtype == jnp.float32 and T * M * M >= _PALLAS_MIN_WORK:
-            # hot-path dispatch: the fused Pallas kernel (fwd + fused backward,
-            # ops/pallas/psi2.py) beats the XLA chunked scan by 12-15% fwd+bwd
-            # above this work size on v5e (measured T=2048/M=256/Q=32: 5.6 vs
-            # 6.3 ms; T=8192: 17.5 vs 20.6). platform_dependent keeps the XLA
-            # branch on CPU/other backends, including jit(device=cpu) baselines.
+        if (
+            _PALLAS_PSI2
+            and mua.dtype == jnp.float32
+            and T * M * M >= _PALLAS_MIN_WORK
+        ):
             from .pallas.psi2 import rbf_psi2_sum_pallas
 
             return lax.platform_dependent(
@@ -484,14 +483,38 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
                 tpu=lambda p_, Z_, m_, s_: rbf_psi2_sum_pallas(p_, Z_, m_, s_),
                 default=lambda p_, Z_, m_, s_: _rbf_psi2_sum_xla(p_, Z_, m_, s_, block),
             )
+        if _XLA_DENSE_MIN_WORK <= T * M * M <= _XLA_DENSE_MAX_WORK:
+            # MEASURED dispatch policy (round-3 fwd+bwd sweep on v5e, jax 0.9;
+            # /tmp/psi2_sweep.py methodology, recorded in BASELINE.md): the
+            # single-expression XLA path (dense (T,M,M) in the HLO, which XLA
+            # fuses into the reduce and REMATERIALIZES in the backward — no
+            # (T,M,M) residual ever hits HBM) beats BOTH the chunked scan and
+            # the round-2 Pallas kernel at every production shape:
+            #   T=2048/M=256: xla 4.23 vs scan 5.29 vs pallas 4.93 ms
+            #   T=8192/M=256: xla 16.8 vs scan 18.5 vs pallas 16.9 ms
+            #   T= 512/M=100: xla 1.11 vs scan 1.16 vs pallas 1.28 ms
+            # so above this work size the caller's `block` (a memory-guard
+            # chunking hint) is overridden in favor of the fused dense form.
+            # The Pallas kernel remains available via RGP_TPU_PALLAS_PSI2=1
+            # (it still wins the FORWARD alone: 1.24 vs 2.04 ms in-trace).
+            return _rbf_psi2_chunk(p, Za, mua, sa)
         return _rbf_psi2_sum_xla(p, Za, mua, sa, block)
     raise NotImplementedError(f"psi2 for kernel {type(kern).__name__}")
 
 
-# Pallas kicks in above this T*M^2 (see dispatch above); below it the
-# materialized/chunked XLA path is latency-optimal (the bench config-1 shape
-# T=512, M=100 stays XLA)
-_PALLAS_MIN_WORK = 1 << 24
+# Dispatch thresholds (see the measured policy note above). The dense-HLO
+# override stays off for tiny inputs where the caller's explicit chunking
+# cannot matter anyway, and applies wherever the sweep showed it fastest.
+# The MAX guard bounds the worst case if a future XLA failed to fuse the
+# (T,M,M) intermediate: 2^30 f32 elements = 4 GiB, comfortably inside v5e
+# HBM; beyond it the scan path (true O(block*M^2) working set) resumes.
+_XLA_DENSE_MIN_WORK = 1 << 22
+_XLA_DENSE_MAX_WORK = 1 << 30
+# Pallas opt-in: measured SLOWER fwd+bwd than the dense XLA form on the
+# current jax/libtpu (it beat the scan path round 2; XLA's remat fusion now
+# wins). Kept behind an env flag for A/B on future toolchains.
+_PALLAS_PSI2 = bool(int(__import__("os").environ.get("RGP_TPU_PALLAS_PSI2", "0")))
+_PALLAS_MIN_WORK = 1 << 23
 
 
 def _rbf_psi2_sum_xla(p, Za, mua, sa, block):
