@@ -27,22 +27,6 @@ def test_mesh_construction():
     assert m.shape == {"data": 4, "chain": 2, "particle": 1}
 
 
-def test_sharded_elbo_matches_single_device(rng):
-    kern, params, X_mu, X_s, Y = _problem(rng)
-    stats = psi_statistics(kern, params["kern"], params["Z"], X_mu, X_s, block=None)
-    ref = float(
-        collapsed_bound(kern, params["kern"], params["Z"], params["log_noise"], stats, Y)
-    )
-    m = pmesh.make_mesh(data=8)
-    out = float(
-        pmesh.data_parallel_collapsed_elbo(
-            kern, params["kern"], params["Z"], params["log_noise"],
-            X_mu, X_s, Y, None, m,
-        )
-    )
-    np.testing.assert_allclose(out, ref, rtol=1e-10)
-
-
 def test_sharded_elbo_certain_inputs(rng):
     kern, params, X_mu, _, Y = _problem(rng, uncertain=False)
     stats = psi_statistics(kern, params["kern"], params["Z"], X_mu, None, block=None)
@@ -59,8 +43,11 @@ def test_sharded_elbo_certain_inputs(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-10)
 
 
-def test_sharded_elbo_gradients_match(rng):
-    """Gradients w.r.t. hyperparameters flow through psum correctly."""
+def test_sharded_elbo_value_and_gradients_match(rng):
+    """Sharded == single-device for the ELBO value AND hyperparameter
+    gradients, computed in ONE jitted value_and_grad each side (round-2
+    verdict weak #6: three separate tests paid four shard_map compile storms
+    cold — this is the fast lane's single data-parallel equality gate)."""
     kern, params, X_mu, X_s, Y = _problem(rng)
     m = pmesh.make_mesh(data=8)
 
@@ -73,24 +60,9 @@ def test_sharded_elbo_gradients_match(rng):
             kern, p["kern"], p["Z"], p["log_noise"], X_mu, X_s, Y, None, m
         )
 
-    g_ref = jax.grad(f_ref)(params)
-    g_dist = jax.grad(f_dist)(params)
+    v_ref, g_ref = jax.jit(jax.value_and_grad(f_ref))(params)
+    v_dist, g_dist = jax.jit(jax.value_and_grad(f_dist))(params)
+    np.testing.assert_allclose(float(v_dist), float(v_ref), rtol=1e-10)
+    assert np.isfinite(float(v_dist))
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dist)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
-
-
-def test_sharded_elbo_jit_and_training_step(rng):
-    kern, params, X_mu, X_s, Y = _problem(rng)
-    m = pmesh.make_mesh(data=8)
-
-    @jax.jit
-    def step(p):
-        return jax.value_and_grad(
-            lambda q: -pmesh.data_parallel_collapsed_elbo(
-                kern, q["kern"], q["Z"], q["log_noise"], X_mu, X_s, Y, None, m
-            )
-        )(p)
-
-    v, g = step(params)
-    assert np.isfinite(float(v))
-    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))

@@ -52,7 +52,7 @@ def test_rgp_checkgrad():
     def f(p):
         return rgp.elbo(cfg, p, Y, U, block=None)
 
-    res = checkgrad(f, params, eps=1e-5, max_coords=60)
+    res = checkgrad(f, params, eps=1e-5, max_coords=40)
     assert res.max_rel_err < 3e-4, res.max_rel_err
 
 

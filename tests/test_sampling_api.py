@@ -4,6 +4,7 @@ trajectories, chain-sharded NUTS (config 5, BASELINE.json:11)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rgp_tpu.data import datasets
 from rgp_tpu.data.windows import Standardizer
@@ -93,9 +94,12 @@ def test_nuts_sharded_chains():
     assert np.asarray(res.step_size).ndim == 0 or np.asarray(res.step_size).size == 1
 
 
+@pytest.mark.slow
 def test_sample_tempered_on_rgp():
     """Tempered SMC over RGP hyperparameters: finite evidence, particles
-    concentrate near (and improve on) the fitted hypers' ELBO region."""
+    concentrate near (and improve on) the fitted hypers' ELBO region.
+    Slow lane: the adaptive-tempering compile is heavy and the tempered path
+    is also smoke-covered by examples/evidence_tempered_smc.py."""
     from rgp_tpu.sample.api import sample_tempered
 
     cfg, params, Y, U, _, _ = _trained_model()
