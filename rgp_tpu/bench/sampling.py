@@ -5,10 +5,10 @@ asks for (multi-host scaling itself is unmeasurable in this environment — one
 real chip; the virtual-mesh correctness gates in tests/ stand in for the
 semantics):
 
-  * NUTS samples/s at ``--chains`` vmapped chains over the flagship
-    hyperparameter potential (1-layer RGP on actuator, M=100 — the same
-    potential ``sample_nuts`` uses, SURVEY.md S3.5/A.5), warmup and draw
-    phases timed separately (draw steady-state is the headline).
+  * NUTS samples/s at ``--chains`` chains over the flagship hyperparameter
+    potential (1-layer RGP on actuator, M=100 — the same potential
+    ``sample_nuts`` uses, SURVEY.md S3.5/A.5), warmup and draw phases timed
+    separately (draw steady-state is the headline).
   * SMC particle-filter steps/s at ``--particles`` particles over latent
     trajectories of the trained flagship model (rgp_smc.make_ssm).
 
@@ -21,6 +21,27 @@ by HOST READS of result elements — on the tunneled axon backend
 ``block_until_ready`` can return before remote execution finishes (the
 BASELINE.md environment gotcha), so a scalar device->host transfer is the only
 reliable barrier.
+
+Dispatch structure (measured constraints of the tunneled backend, round 3):
+
+  1. The potential is built with ``psi_prefer="scan"`` + a small block and
+     ``fixed_whitening=True``: the dense-psi2 dispatch under a 1024-chain vmap
+     would materialize a (chains, T, M, M) intermediate and crash the remote
+     compiler, and a fresh per-evaluation ``eigh`` makes the leapfrog
+     eigh-bound instead of exp-bound (measured 855 vs 1900 grad-evals/s at
+     256 chains).
+  2. Any single device program running over ~60 s is killed by the tunnel
+     watchdog ("TPU device error / kernel fault") — a 64-step warmup scan in
+     ONE jit call is minutes of device time. So warmup is SEGMENTED
+     (``nuts_warmup`` is segmentation-invariant: the adaptation schedule keys
+     off the carry's step counter) and draws run ONE transition per call.
+  3. Chains are processed in groups of ``--warmup-chains`` so the worst-case
+     (max-depth) transition stays a few seconds per call; groups share the
+     warmup-adapted step size / mass and fold the group offset into the
+     per-chain PRNG keys (``chain_offset``), so the 1024 logical chains are
+     one coherent sampler run, just dispatched in slices. Adaptation runs on
+     one group (dual averaging + pooled Welford are cross-chain averages —
+     128 chains estimate them as well as 1024).
 """
 
 from __future__ import annotations
@@ -73,7 +94,8 @@ def _flagship(fit_iters: int, dtype):
 
 
 def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
-               fit_iters: int, seed: int = 0) -> dict:
+               fit_iters: int, seed: int = 0, group_size: int = 128,
+               block: int = 32) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,57 +103,82 @@ def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
     from ..sample.nuts import nuts_draw, nuts_init, nuts_warmup
 
     cfg, params, Y, U, _, _ = _flagship(fit_iters, jnp.float32)
-    potential, flat0, _ = make_rgp_potential(cfg, params, Y, U)
+    potential, flat0, _ = make_rgp_potential(
+        cfg, params, Y, U, block=block, psi_prefer="scan", fixed_whitening=True
+    )
     key = jax.random.PRNGKey(seed)
     k_init, k_warm, k_draw = jax.random.split(key, 3)
-    z0 = flat0[None, :] + 0.1 * jax.random.normal(
-        k_init, (chains, flat0.shape[0]), flat0.dtype
+    wc = min(group_size, chains)
+    n_groups = -(-chains // wc)
+
+    # Hessian-diagonal mass preconditioning: without it the dual averaging
+    # collapses eps to ~1e-5 on this stiff posterior (measured; see
+    # nuts_init docstring) and every tree saturates max_depth
+    Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
+    mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
+    z0 = flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+        k_init, (wc, flat0.shape[0]), flat0.dtype
     )
 
+    seg = 2  # warmup steps per device call (watchdog: keep calls ~seconds)
     warm = jax.jit(
-        lambda c, k: nuts_warmup(
-            potential, c, k, warmup, n_warmup=warmup, max_depth=max_depth
+        lambda c: nuts_warmup(
+            potential, c, k_warm, seg, n_warmup=warmup, max_depth=max_depth
         )
     )
-    draw = jax.jit(
-        lambda c, k: nuts_draw(potential, c, k, samples, max_depth=max_depth)
-    )
-
-    carry0 = nuts_init(z0, n_chains=chains)
-    # compile both phases (cached), then time each once
-    carry = warm(carry0, k_warm)
-    float(carry.zs[0, 0])
+    carry = nuts_init(z0, n_chains=wc, mass_inv=mass_inv0)
+    carry = warm(carry)
+    float(carry.zs[0, 0])  # compile + host-read sync
+    carry = nuts_init(z0, n_chains=wc, mass_inv=mass_inv0)
     t0 = time.perf_counter()
-    carry = warm(carry0, k_warm)
+    for _ in range(0, warmup, seg):
+        carry = warm(carry)
     float(carry.zs[0, 0])
     t_warm = time.perf_counter() - t0
 
-    _, res = draw(carry, k_draw)
-    float(res.samples[0, -1, 0])
+    draw1 = jax.jit(
+        lambda c, off: nuts_draw(potential, c, k_draw, 1,
+                                 max_depth=max_depth, chain_offset=off)
+    )
+    _ = draw1(carry, 0)
+    float(_[0].zs[0, 0])  # compile + sync
+    # every group starts from the warmup-final positions; the per-group
+    # chain_offset folds into the PRNG keys so duplicates diverge immediately
+    group_carries = [carry for _ in range(n_groups)]
+    results = []
     t0 = time.perf_counter()
-    _, res = draw(carry, k_draw)
-    float(res.samples[0, -1, 0])
+    for g in range(n_groups):
+        c = group_carries[g]
+        for _ in range(samples):
+            c, r = draw1(c, g * wc)
+            results.append(r)
+        group_carries[g] = c
+    for c in group_carries:
+        float(c.zs[0, 0])  # host-read barrier on every group's tail
     t_draw = time.perf_counter() - t0
 
-    total_draws = chains * samples
+    accs = jnp.concatenate([r.accept_prob.ravel() for r in results])
+    divs = jnp.concatenate([r.diverging.ravel() for r in results])
+    total_draws = n_groups * wc * samples
     return {
-        "metric": f"nuts_samples_per_sec[rgp1L_actuator_M100_chains{chains}]",
+        "metric": f"nuts_samples_per_sec[rgp1L_actuator_M100_chains{n_groups * wc}]",
         "value": round(total_draws / t_draw, 1),
         "unit": "samples/s",
         "vs_baseline": None,
         "details": {
             "backend": jax.default_backend(),
-            "chains": chains,
+            "chains": n_groups * wc,
+            "chain_group_size": wc,
             "n_samples": samples,
             "n_warmup": warmup,
             "max_depth": max_depth,
             "draw_seconds": round(t_draw, 2),
             "warmup_seconds": round(t_warm, 2),
-            "warmup_samples_per_sec": round(chains * warmup / t_warm, 1),
-            "mean_accept": round(float(res.accept_prob.mean()), 3),
-            "divergence_rate": round(float(res.diverging.mean()), 4),
-            "step_size": round(float(res.step_size), 5),
-            "potential_dim": int(res.samples.shape[-1]),
+            "warmup_samples_per_sec": round(wc * warmup / t_warm, 1),
+            "mean_accept": round(float(accs.mean()), 3),
+            "divergence_rate": round(float(divs.mean()), 4),
+            "step_size": round(float(jnp.exp(carry.da.log_eps_avg)), 5),
+            "potential_dim": int(flat0.shape[0]),
         },
     }
 
@@ -179,11 +226,13 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--what", choices=("nuts", "smc"), default="nuts")
+    ap.add_argument("--what", "--sampler", dest="what", choices=("nuts", "smc"),
+                    default="nuts")
     ap.add_argument("--chains", type=int, default=1024)
+    ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--particles", type=int, default=1024)
     ap.add_argument("--warmup", type=int, default=50)
-    ap.add_argument("--samples", type=int, default=50)
+    ap.add_argument("--samples", "--draws", dest="samples", type=int, default=50)
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--fit-iters", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
@@ -191,7 +240,8 @@ def main(argv=None):
 
     if args.what == "nuts":
         out = bench_nuts(args.chains, args.warmup, args.samples,
-                         args.max_depth, args.fit_iters, args.seed)
+                         args.max_depth, args.fit_iters, args.seed,
+                         group_size=args.group_size)
     else:
         out = bench_smc(args.particles, args.fit_iters, args.seed)
     print(json.dumps(out))

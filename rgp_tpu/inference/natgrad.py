@@ -50,6 +50,10 @@ def natgrad_step(elbo_of_qu: Callable, qu, lr: float):
     ``ok`` over all D output dims: one non-finite dim rejects the whole
     candidate scale (conservative; healthy dims then also take the smaller
     step, which only slows — never breaks — their convergence).
+    (A vmapped single-(3,D,M,M)-batched trial was tried round 3 and measured
+    SLOWER end-to-end than the three sequential trials on the config-4 run —
+    140.7 vs 206.0 iters/s warm — XLA schedules the small sequential
+    factorizations better than the batched one here; keep the loop.)
     """
     m, S, _ = qu_moments(qu)  # m (M, D), S (D, M, M)
     M, D = m.shape

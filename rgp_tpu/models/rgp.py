@@ -289,13 +289,18 @@ def _layer_inputs(cfg: RGPConfig, h: int, mu_full, lam_full, mu_lower_t, lam_low
 
 
 def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
-         whitening=None):
+         whitening=None, psi_prefer: str = "auto"):
     """REVARB evidence lower bound (Appendix A.4) — one pure scalar function.
 
     ``whitening``: optional tuple of H+1 precomputed (possibly stale)
     :class:`~rgp_tpu.inference.collapsed_vi.Whitening` bases, one per hidden
     layer plus the output layer — amortizes the per-layer eigh across training
     steps (see :func:`compute_whitenings` and ``train.fit_adam(aux_fn=...)``).
+
+    ``psi_prefer``: forwarded to :func:`~rgp_tpu.ops.psi_stats.psi_statistics`
+    — pass ``"scan"`` (with a small ``block``) when this ELBO is vmapped over
+    many instances (e.g. 1024 NUTS chains), where the per-instance dense-psi2
+    dispatch heuristic would blow up batched memory.
     """
     Y = jnp.asarray(Y)
     U = jnp.asarray(U)
@@ -314,7 +319,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
         tgt_mu = mu_full[L:]
         tgt_lam = lam_full[L:]
 
-        stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
+        stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block, prefer=psi_prefer)
         total = total + collapsed_bound(
             spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, tgt_mu, tgt_lam,
             W=None if whitening is None else whitening[h],
@@ -330,7 +335,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
     op = params["out"]
     Xo_mu = current_window(mu_lower_t, cfg.out_win)
     Xo_s = current_window(lam_lower_t, cfg.out_win)
-    stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
+    stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block, prefer=psi_prefer)
     total = total + collapsed_bound(
         cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y,
         W=None if whitening is None else whitening[-1],

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -428,6 +429,7 @@ def psi_statistics(
     s=None,
     *,
     block: Optional[int] = 128,
+    prefer: str = "auto",
 ) -> PsiStats:
     """Compute (Psi0, Psi1, sum_t Psi2) for q(x_t) = N(mu_t, diag(s_t)).
 
@@ -435,6 +437,14 @@ def psi_statistics(
     Psi2=K^T K. The Psi2 time sum is accumulated in chunks of ``block``
     timesteps under ``lax.scan`` so the (T, M, M) intermediate never
     materializes (pass ``block=None`` to materialize — fastest for small T).
+
+    ``prefer``: ``"auto"`` applies the measured dispatch policy (dense XLA
+    form / Pallas according to work size — see the policy note in
+    :func:`_psi2_sum`); ``"scan"`` forces the chunked-scan accumulation and
+    honors ``block`` strictly. Use ``"scan"`` when the call site is itself
+    batched (``vmap`` over many chains/particles): the per-instance work
+    heuristic cannot see the batch dimension, and the dense (B, T, M, M)
+    form can exceed HBM or crash the compiler at B ~ 1024.
 
     Kernels without closed-form psi statistics (see :func:`has_closed_psi`)
     are supported on certain inputs only, via the K-based degeneration.
@@ -444,11 +454,11 @@ def psi_statistics(
         return PsiStats(kern.Kdiag(p, mu), K, hdot(K.T, K))
     s = _broadcast_s(mu, s)
     psi0, psi1 = _psi01(kern, p, Z, mu, s)
-    psi2 = _psi2_sum(kern, p, Z, mu, s, block=block)
+    psi2 = _psi2_sum(kern, p, Z, mu, s, block=block, prefer=prefer)
     return PsiStats(psi0, psi1, psi2)
 
 
-def _psi2_sum(kern, p, Z, mu, s, *, block):
+def _psi2_sum(kern, p, Z, mu, s, *, block, prefer="auto"):
     if isinstance(kern, Linear):
         return _linear_psi2_sum(p, kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s))
     if isinstance(kern, Bias):
@@ -460,7 +470,7 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
     if isinstance(kern, Sum):
         total = None
         for k, pk in zip(kern.parts, p):
-            part = _psi2_sum(k, pk, Z, mu, s, block=block)
+            part = _psi2_sum(k, pk, Z, mu, s, block=block, prefer=prefer)
             total = part if total is None else total + part
         return total + _sum_psi2_cross(kern, p, Z, mu, s, per_t=False)
     if isinstance(kern, Prod) and _prod_disjoint(kern):
@@ -471,6 +481,8 @@ def _psi2_sum(kern, p, Z, mu, s, *, block):
         Za, mua, sa = kern_slice(kern, Z), kern_slice(kern, mu), kern_slice(kern, s)
         T = mua.shape[0]
         M = Za.shape[0]
+        if prefer == "scan":
+            return _rbf_psi2_sum_xla(p, Za, mua, sa, block)
         if (
             _PALLAS_PSI2
             and mua.dtype == jnp.float32
@@ -532,10 +544,19 @@ def _rbf_psi2_sum_xla(p, Za, mua, sa, block):
     sp = sp.reshape(n_chunks, block, -1)
     maskp = maskp.reshape(n_chunks, block)
 
+    # remat the chunk: without it, autodiff-of-scan stores every chunk's
+    # (block, M, M) residual — (n_chunks, block, M, M) == the full dense
+    # intermediate, defeating the memory guard this path exists to provide
+    # (measured: the 1024-chain vmapped NUTS potential stored
+    # (16, 1024, 32, 100, 100) = 21 GB of residuals and killed the
+    # compiler). Recompute-in-backward costs ~1 extra exp pass on the chunk.
+    chunk_fn = jax.checkpoint(
+        lambda mu_c, s_c, m_c: _rbf_psi2_masked(p, Za, mu_c, s_c, m_c)
+    )
+
     def step(acc, inp):
         mu_c, s_c, m_c = inp
-        chunk = _rbf_psi2_masked(p, Za, mu_c, s_c, m_c)
-        return acc + chunk, None
+        return acc + chunk_fn(mu_c, s_c, m_c), None
 
     M = Za.shape[0]
     init = jnp.zeros((M, M), dtype=mua.dtype)
@@ -555,10 +576,17 @@ def _chunked_per_t_sum(per_t_fn, Z, mu, s, block):
     sp = jnp.pad(s, ((0, pad), (0, 0))).reshape(n_chunks, block, -1)
     maskp = jnp.pad(jnp.ones((T,), dtype=mu.dtype), (0, pad)).reshape(n_chunks, block)
 
+    # remat: see the matching note in _rbf_psi2_sum_xla — without it the
+    # scan's backward stores every chunk's (block, M, M) residual
+    chunk_fn = jax.checkpoint(
+        lambda mu_c, s_c, m_c: jnp.sum(
+            per_t_fn(mu_c, s_c) * m_c[:, None, None], axis=0
+        )
+    )
+
     def step(acc, inp):
         mu_c, s_c, m_c = inp
-        chunk = jnp.sum(per_t_fn(mu_c, s_c) * m_c[:, None, None], axis=0)
-        return acc + chunk, None
+        return acc + chunk_fn(mu_c, s_c, m_c), None
 
     M = Z.shape[0]
     init = jnp.zeros((M, M), dtype=mu.dtype)

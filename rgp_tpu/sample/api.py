@@ -64,16 +64,39 @@ def merge_hypers(params, hyper):
     return {**params, "layers": layers, "out": out}
 
 
-def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None):
-    """-> (potential_fn over flat unconstrained vector, initial vector, unravel)."""
+def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
+                       psi_prefer: str = "auto", fixed_whitening: bool = False):
+    """-> (potential_fn over flat unconstrained vector, initial vector, unravel).
+
+    ``psi_prefer="scan"`` + small ``block``: REQUIRED when the potential will
+    be vmapped over many chains (the dense-psi2 dispatch would materialize a
+    (chains, T, M, M) intermediate; measured: the remote compiler dies at
+    1024 chains on v5e).
+
+    ``fixed_whitening``: close over the spectral-whitening bases computed ONCE
+    at the anchor ``params`` instead of running a fresh ``eigh`` per layer per
+    potential evaluation. The bound is W-invariant for any full-rank basis
+    (``whitening_basis`` docstring), so the potential surface is unchanged
+    wherever the frozen spectral floor stays inactive; what degrades away from
+    the anchor is only the conditioning of the whitened Cholesky, which the
+    jitchol ladder absorbs. Measured effect: batched eigh dominates the
+    many-chain leapfrog on TPU (eigh is sequential-iterative; M=100 x 1024
+    chains per gradient eval), so fixing the basis is the difference between
+    the sampler being eigh-bound and exp-bound."""
     hyper0 = split_hypers(params)
     flat0, unravel = ravel(hyper0)
     Y = jnp.asarray(Y)
     U = jnp.asarray(U)
+    wh = (
+        rgp.compute_whitenings(cfg, params, Y, U, block=block)
+        if fixed_whitening
+        else None
+    )
 
     def potential(v):
         p = merge_hypers(params, unravel(v))
-        lp = rgp.elbo(cfg, p, Y, U, block=block)
+        lp = rgp.elbo(cfg, p, Y, U, block=block, psi_prefer=psi_prefer,
+                      whitening=wh)
         log_prior = -0.5 * jnp.sum((v / prior_std) ** 2)
         return -(lp + log_prior)
 
@@ -93,12 +116,26 @@ def sample_nuts(
     max_depth: int = 6,
     prior_std: float = 3.0,
     jitter_init: float = 0.1,
+    hessian_precondition: bool = False,
     **nuts_kw,
 ) -> NUTSResult:
-    """NUTS over RGP hyperparameters (Appendix B ``rgp.sample_nuts``)."""
+    """NUTS over RGP hyperparameters (Appendix B ``rgp.sample_nuts``).
+
+    ``hessian_precondition``: initialize the diagonal inverse mass (and scale
+    the initial jitter) from the potential's Hessian diagonal at ``params`` —
+    the standard stiffness fix for GP hyperparameter posteriors, whose
+    curvature spans many orders of magnitude across noise vs lengthscale
+    directions (see :func:`rgp_tpu.sample.nuts.nuts_init`). Costs dim
+    forward-over-reverse passes once."""
     potential, flat0, _ = make_rgp_potential(cfg, params, Y, U, prior_std=prior_std)
     k_init, k_run = jax.random.split(jnp.asarray(key))
-    z0 = flat0[None, :] + jitter_init * jax.random.normal(
+    scale = jnp.ones_like(flat0)
+    if hessian_precondition:
+        Hd = jnp.diag(jax.hessian(potential)(flat0))
+        mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
+        nuts_kw.setdefault("mass_inv0", mass_inv0)
+        scale = jnp.sqrt(mass_inv0)
+    z0 = flat0[None, :] + jitter_init * scale[None, :] * jax.random.normal(
         k_init, (n_chains, flat0.shape[0]), flat0.dtype
     )
     return nuts_sample(

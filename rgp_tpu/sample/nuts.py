@@ -377,7 +377,15 @@ def _step_keys(key, i, n_chains, chain_offset=0):
     return jax.vmap(lambda c: jax.random.fold_in(ki, c))(idx)
 
 
-def nuts_init(z0, *, n_chains: int = 1, step_size: float = 0.1) -> NUTSCarry:
+def nuts_init(z0, *, n_chains: int = 1, step_size: float = 0.1,
+              mass_inv=None) -> NUTSCarry:
+    """``mass_inv``: optional initial diagonal inverse mass (dim,) — e.g. the
+    inverse Hessian diagonal of the potential at a MAP estimate. GP
+    hyperparameter posteriors are stiff (curvature spans ~10 orders of
+    magnitude across noise/lengthscale directions); with a unit mass the dual
+    averaging collapses the step size to ~1e-7 before the Welford window can
+    learn the scales (measured on the flagship potential), while Hessian
+    preconditioning keeps eps ~ O(1e-1)."""
     z0 = jnp.atleast_2d(z0)
     if z0.shape[0] != n_chains:
         z0 = jnp.broadcast_to(z0, (n_chains, z0.shape[-1]))
@@ -390,7 +398,10 @@ def nuts_init(z0, *, n_chains: int = 1, step_size: float = 0.1) -> NUTSCarry:
             jnp.zeros(dim, z0.dtype),
             jnp.asarray(0.0, z0.dtype),
         ),
-        mass_inv=jnp.ones(dim, z0.dtype),
+        mass_inv=(
+            jnp.ones(dim, z0.dtype) if mass_inv is None
+            else jnp.asarray(mass_inv, z0.dtype)
+        ),
         step=jnp.asarray(0, jnp.int32),
     )
 
@@ -540,6 +551,7 @@ def nuts_sample(
     adapt_mass: bool = True,
     chain_axis: Optional[str] = None,
     chain_offset=0,
+    mass_inv0=None,
 ) -> NUTSResult:
     """Run NUTS with dual-averaging warmup (one-shot driver over
     :func:`nuts_init` → :func:`nuts_warmup` → :func:`nuts_draw`).
@@ -548,8 +560,11 @@ def nuts_sample(
     ``shard_map`` with chains sharded over a mesh axis, pass its name — the
     dual-averaging accept statistic and mass estimates are then psum-averaged
     across ALL chains so every device adapts identically (BASELINE.json:5).
+    ``mass_inv0``: optional initial diagonal inverse mass (see
+    :func:`nuts_init`).
     """
-    carry = nuts_init(z0, n_chains=n_chains, step_size=step_size)
+    carry = nuts_init(z0, n_chains=n_chains, step_size=step_size,
+                      mass_inv=mass_inv0)
     carry = nuts_warmup(
         potential_fn, carry, key, n_warmup,
         n_warmup=n_warmup, max_depth=max_depth, target_accept=target_accept,

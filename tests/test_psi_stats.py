@@ -78,6 +78,10 @@ def test_chunked_psi2_matches_dense(rng):
     dense = psi_statistics(kern, p, Z, mu, s, block=None).psi2
     chunked = psi_statistics(kern, p, Z, mu, s, block=32).psi2
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense), rtol=1e-10)
+    # prefer="scan" (the vmap-safe escape from the measured dense-dispatch
+    # policy, used by the 1024-chain NUTS potential) must agree exactly
+    forced = psi_statistics(kern, p, Z, mu, s, block=32, prefer="scan").psi2
+    np.testing.assert_allclose(np.asarray(forced), np.asarray(dense), rtol=1e-10)
 
 
 def test_psi_grads(rng):

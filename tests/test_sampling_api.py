@@ -42,6 +42,48 @@ def test_sample_nuts_on_rgp():
     assert np.asarray(res.samples).std(axis=(0, 1)).max() > 1e-3
 
 
+@pytest.mark.slow
+def test_sample_nuts_hessian_precondition():
+    """Hessian-diagonal mass preconditioning (the stiffness fix measured on
+    the flagship potential) must produce a healthy, moving sampler.
+
+    slow: compiles its own warmup graph (~80 s cold); the capability is also
+    exercised on the real chip by ``rgp_tpu.bench.sampling``."""
+    cfg, params, Y, U, _, _ = _trained_model()
+    res = api.sample_nuts(
+        cfg, params, Y, U, jax.random.PRNGKey(1),
+        n_samples=30, n_warmup=100, n_chains=2, max_depth=5,
+        hessian_precondition=True,
+    )
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert np.asarray(res.accept_prob).mean() > 0.4
+    assert np.asarray(res.samples).std(axis=(0, 1)).max() > 1e-3
+
+
+def test_fixed_whitening_potential_matches():
+    """The frozen-basis NUTS potential (bench/sampling.py protocol) equals the
+    fresh-eigh potential EXACTLY at the anchor params; away from the anchor it
+    is the documented nearby clamp-regularized target (the frozen spectral-
+    floor topup no longer matches the drifted spectrum — measured ~0.2%
+    relative at 0.05 perturbation), with a gradient field that stays aligned
+    with the exact one."""
+    cfg, params, Y, U, _, _ = _trained_model()
+    pot_ref, flat0, _ = api.make_rgp_potential(cfg, params, Y, U)
+    pot_fix, _, _ = api.make_rgp_potential(
+        cfg, params, Y, U, fixed_whitening=True, psi_prefer="scan", block=8
+    )
+    np.testing.assert_allclose(
+        float(pot_fix(flat0)), float(pot_ref(flat0)), rtol=1e-9
+    )
+    v = flat0 + 0.05 * jax.random.normal(jax.random.PRNGKey(3), flat0.shape,
+                                         flat0.dtype)
+    np.testing.assert_allclose(float(pot_fix(v)), float(pot_ref(v)), rtol=1e-2)
+    g_ref = np.asarray(jax.grad(pot_ref)(v))
+    g_fix = np.asarray(jax.grad(pot_fix)(v))
+    cos = float(g_ref @ g_fix / (np.linalg.norm(g_ref) * np.linalg.norm(g_fix)))
+    assert cos > 0.99, cos
+
+
 def test_sample_hmc_on_rgp():
     cfg, params, Y, U, _, _ = _trained_model()
     res = api.sample_hmc(
