@@ -92,6 +92,8 @@ def test_inducing_sharded_linear_kernel(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-10)
 
 
+@pytest.mark.slow  # variational-target variant; the certain-inputs gate
+# stays in the fast lane (~27 s of shard_map compile cold)
 def test_inducing_sharded_with_y_var(rng):
     kern, params, X_mu, X_s, Y = _problem(rng)
     Y_var = jnp.asarray(np.random.default_rng(1).uniform(0.01, 0.1, Y.shape))

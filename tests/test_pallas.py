@@ -11,7 +11,10 @@ from rgp_tpu.ops.psi_stats import psi_statistics
 from rgp_tpu.ops.pallas.psi2 import _psi2_pallas_raw, rbf_psi2_precompute
 
 
-@pytest.mark.parametrize("T,M,Q", [(40, 24, 3), (65, 130, 5)])  # non-tile-aligned
+@pytest.mark.parametrize("T,M,Q", [
+    (40, 24, 3),
+    pytest.param(65, 130, 5, marks=pytest.mark.slow),  # larger interpret-mode case
+])  # non-tile-aligned
 def test_pallas_psi2_matches_reference(rng, T, M, Q):
     kern = RBF(input_dim=Q)
     p = kern.init(dtype=jnp.float64)
@@ -35,7 +38,10 @@ def test_pallas_psi2_matches_reference(rng, T, M, Q):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("T,M,Q", [(40, 24, 3), (65, 130, 5)])  # non-tile-aligned
+@pytest.mark.parametrize("T,M,Q", [
+    (40, 24, 3),
+    pytest.param(65, 130, 5, marks=pytest.mark.slow),  # larger interpret-mode case
+])  # non-tile-aligned
 def test_pallas_psi2_fused_backward_matches_autodiff(rng, T, M, Q):
     """The fully-fused Pallas backward (recompute-in-tile, _psi2_bwd_kernel)
     reproduces autodiff-of-the-XLA-reference cotangents for every input."""

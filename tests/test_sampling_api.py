@@ -84,6 +84,8 @@ def test_fixed_whitening_potential_matches():
     assert cos > 0.99, cos
 
 
+@pytest.mark.slow  # reference-parity HMC; the NUTS fast-lane test covers
+# the sampling path, and this one compiles its own leapfrog graph (~26 s cold)
 def test_sample_hmc_on_rgp():
     cfg, params, Y, U, _, _ = _trained_model()
     res = api.sample_hmc(
@@ -105,6 +107,8 @@ def test_smc_on_rgp():
     assert np.all(np.asarray(res.ess_history) <= 128 + 1e-6)
 
 
+@pytest.mark.slow  # model-level duplicate of the bitwise sharded-SMC gate
+# in test_samplers.py (which stays fast); ~11 s of shard_map compile cold
 def test_smc_on_rgp_sharded_matches():
     cfg, params, Y, U, Ut, Yt = _trained_model()
     key = jax.random.PRNGKey(3)
