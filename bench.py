@@ -211,7 +211,7 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--cpu-solo", action="store_true",
                     help="internal: run the CPU reference solo and print iters/s")
-    ap.add_argument("--restarts", type=int, default=4,
+    ap.add_argument("--restarts", type=int, default=8,
                     help="vmapped init seeds; best final ELBO selected for RMSE")
     ap.add_argument("--skip-cpu-baseline", action="store_true")
     ap.add_argument("--no-probe", action="store_true")
@@ -314,6 +314,16 @@ def main():
         result["details"].update(probe_diag)
 
     if fallback:
+        # Emit the provisional CPU record IMMEDIATELY: the recovery path below
+        # can run for tens of minutes (re-probe + full TPU rerun), and if the
+        # caller's outer timeout kills us mid-recovery, the run must still
+        # have produced SOME last-line JSON (measured failure, round 3: a
+        # 50-min wedge + timeout 3000 yielded an empty record). A successful
+        # recovery prints the real measurement afterwards, and the driver
+        # reads the LAST line.
+        result["details"]["provisional"] = True
+        print(json.dumps(result), flush=True)
+        result["details"].pop("provisional")
         # The wedge may have cleared while the (~1 min) CPU fallback ran —
         # re-probe, and if the TPU is back, the REAL measurement replaces the
         # fallback record entirely (round-2 verdict #1: the fallback number
