@@ -39,6 +39,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fit-iters", type=int, default=300)
     ap.add_argument("--repeat", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="batched-serving width (vmapped closed-loop sims)")
     args = ap.parse_args(argv)
 
     cfg, params, Y, U, Ut, _ = _flagship(args.fit_iters, jnp.float32)
@@ -64,6 +66,28 @@ def main(argv=None):
         run_onestep()
     dt_one = (time.perf_counter() - t0) / args.repeat
 
+    # batched serving: B independent input sequences simulated closed-loop in
+    # one vmapped scan — per-step latency is shared across the batch, so the
+    # aggregate steps/s is the chip's true serving throughput (each sequence
+    # perturbs the test inputs so XLA cannot CSE them away)
+    B = args.batch
+    k = jax.random.PRNGKey(0)
+    Us = Ut[None, :, :] + 0.01 * jax.random.normal(
+        k, (B, *Ut.shape), Ut.dtype
+    )
+    batched = jax.jit(jax.vmap(lambda u: rgp.freerun(cfg, params, Y, U, u)))
+
+    def run_batched():
+        m, v = batched(Us)
+        return float(m[-1, -1, 0]) + float(v[-1, -1, 0])
+
+    run_batched()  # compile
+    n_rep = max(1, args.repeat // 4)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        run_batched()
+    dt_batch = (time.perf_counter() - t0) / n_rep
+
     print(json.dumps({
         "metric": f"freerun_steps_per_sec[rgp1L_actuator_M100_T{T_star}]",
         "value": round(T_star / dt_free, 1),
@@ -74,6 +98,9 @@ def main(argv=None):
             "horizon_steps": T_star,
             "freerun_latency_ms": round(dt_free * 1e3, 2),
             "onestep_predict_latency_ms": round(dt_one * 1e3, 2),
+            "batched_serving_width": B,
+            "batched_serving_steps_per_sec": round(B * T_star / dt_batch, 1),
+            "batched_serving_latency_ms": round(dt_batch * 1e3, 2),
             "repeat": args.repeat,
             "moment_matched": True,
         },
