@@ -14,6 +14,14 @@ from rgp_tpu.sample import api
 from rgp_tpu import train
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _trained_model_cached():
+    return _trained_model()
+
+
 def _trained_model(T=40, iters=50):
     d = datasets.narendra(T=2 * T, seed=0)
     sy, su = Standardizer.fit(d.y_train), Standardizer.fit(d.u_train)
@@ -31,7 +39,7 @@ def _trained_model(T=40, iters=50):
 
 
 def test_sample_nuts_on_rgp():
-    cfg, params, Y, U, _, _ = _trained_model()
+    cfg, params, Y, U, _, _ = _trained_model_cached()
     res = api.sample_nuts(
         cfg, params, Y, U, jax.random.PRNGKey(0),
         n_samples=40, n_warmup=120, n_chains=2, max_depth=5, step_size=0.02,
@@ -49,7 +57,7 @@ def test_sample_nuts_hessian_precondition():
 
     slow: compiles its own warmup graph (~80 s cold); the capability is also
     exercised on the real chip by ``rgp_tpu.bench.sampling``."""
-    cfg, params, Y, U, _, _ = _trained_model()
+    cfg, params, Y, U, _, _ = _trained_model_cached()
     res = api.sample_nuts(
         cfg, params, Y, U, jax.random.PRNGKey(1),
         n_samples=30, n_warmup=100, n_chains=2, max_depth=5,
@@ -67,7 +75,7 @@ def test_fixed_whitening_potential_matches():
     floor topup no longer matches the drifted spectrum — measured ~0.2%
     relative at 0.05 perturbation), with a gradient field that stays aligned
     with the exact one."""
-    cfg, params, Y, U, _, _ = _trained_model()
+    cfg, params, Y, U, _, _ = _trained_model_cached()
     pot_ref, flat0, _ = api.make_rgp_potential(cfg, params, Y, U)
     pot_fix, _, _ = api.make_rgp_potential(
         cfg, params, Y, U, fixed_whitening=True, psi_prefer="scan", block=8
@@ -87,7 +95,7 @@ def test_fixed_whitening_potential_matches():
 @pytest.mark.slow  # reference-parity HMC; the NUTS fast-lane test covers
 # the sampling path, and this one compiles its own leapfrog graph (~26 s cold)
 def test_sample_hmc_on_rgp():
-    cfg, params, Y, U, _, _ = _trained_model()
+    cfg, params, Y, U, _, _ = _trained_model_cached()
     res = api.sample_hmc(
         cfg, params, Y, U, jax.random.PRNGKey(0),
         n_samples=30, n_warmup=10, step_size=0.005, n_leapfrog=5, n_chains=2,
@@ -96,7 +104,7 @@ def test_sample_hmc_on_rgp():
 
 
 def test_smc_on_rgp():
-    cfg, params, Y, U, Ut, Yt = _trained_model()
+    cfg, params, Y, U, Ut, Yt = _trained_model_cached()
     res = api.smc(
         cfg, params, Y, U, Ut, Yt, jax.random.PRNGKey(0), n_particles=128
     )
@@ -110,7 +118,7 @@ def test_smc_on_rgp():
 @pytest.mark.slow  # model-level duplicate of the bitwise sharded-SMC gate
 # in test_samplers.py (which stays fast); ~11 s of shard_map compile cold
 def test_smc_on_rgp_sharded_matches():
-    cfg, params, Y, U, Ut, Yt = _trained_model()
+    cfg, params, Y, U, Ut, Yt = _trained_model_cached()
     key = jax.random.PRNGKey(3)
     single = api.smc(cfg, params, Y, U, Ut, Yt, key, n_particles=64)
     m = pmesh.make_mesh(particle=8)
@@ -148,7 +156,7 @@ def test_sample_tempered_on_rgp():
     is also smoke-covered by examples/evidence_tempered_smc.py."""
     from rgp_tpu.sample.api import sample_tempered
 
-    cfg, params, Y, U, _, _ = _trained_model()
+    cfg, params, Y, U, _, _ = _trained_model_cached()
     res, unravel = sample_tempered(
         cfg, params, Y, U, jax.random.PRNGKey(0),
         n_particles=64, prior_std=0.5, n_moves=2, max_stages=20,
