@@ -37,6 +37,7 @@ TASKS: Dict[str, Callable] = {
     "ballbeam": datasets.ballbeam,
     "dryer": datasets.dryer,
     "gas_furnace": datasets.gas_furnace,
+    "tanks": datasets.tanks,
     "long_corpus": datasets.long_corpus,
 }
 
@@ -149,8 +150,77 @@ def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: i
     return res, m, v
 
 
+def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
+                           M: int, batch_size: int = 512):
+    """Config 4, collapsed route (VERDICT r3 #1): minibatch the COLLAPSED
+    GP-NARX bound through its additive sufficient statistics. Each step
+    computes the batch's psi statistics and scales them by T/B — an unbiased
+    estimator of the full-data sufficient statistics (psi0 sum, Psi1^T Y,
+    Psi2 = Psi1^T Psi1, ||Y||^2), assembled by the exact same
+    ``collapsed_bound_from_suffstats`` the data-parallel psum path uses
+    (SURVEY.md S3.4: partial psi-stats are additive over t). q(u) never
+    appears as an optimization variable — it is collapsed out per step, so the
+    minibatch optimum cannot drift away from a free-runnable collapsed model
+    the way the explicit-q(u) SVI optimum did (measured round 3: SVI+natgrad
+    free-ran at RMSE 8.9 while the full-batch collapsed optimum of the same
+    corpus free-runs at 0.258). The assembly is nonlinear in the statistics,
+    so the stochastic bound is a biased (O(1/B)) estimate of the full bound —
+    the measured cost on long_corpus is ~nil (BASELINE.md config-4 row).
+
+    Scoring: the returned freerun uses the EXACT full-data collapsed posterior
+    at the learned hyperparameters (gp_narx.freerun recomputes it once)."""
+    import jax
+    import optax
+
+    from ..data.windows import narx_design
+    from ..inference.collapsed_vi import collapsed_bound_from_suffstats
+    from ..linalg import hdot
+    from ..ops.psi_stats import psi01
+
+    y_win, u_win = 10, 5
+    X, Yt = narx_design(prep.Y, prep.U, y_win, u_win)
+    cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=X.shape[1]), num_inducing=M,
+                             y_win=y_win, u_win=u_win)
+    from ..models import sparse_gp
+
+    params = sparse_gp.init_params(cfg.sparse, X, noise=0.1, seed=seed)
+    T_total, D = Yt.shape
+    bs = min(batch_size, T_total)
+    w = T_total / bs
+    kern = cfg.kernel
+
+    def loss(p, batch):
+        psi0_b, psi1_b = psi01(kern, p["kern"], p["Z"], batch["X"], None)
+        # certain inputs: Psi2 == Psi1^T Psi1, so the scaled statistic keeps
+        # its PSD factor sqrt(w) Psi1 (the f32-accurate assembly path)
+        return -collapsed_bound_from_suffstats(
+            kern, p["kern"], p["Z"], p["log_noise"],
+            w * jnp.sum(psi0_b),
+            w * hdot(psi1_b.T, batch["Y"]),
+            None,
+            w * jnp.sum(batch["Y"] ** 2),
+            T_total, D,
+            psi1_factor=jnp.sqrt(jnp.asarray(w, psi1_b.dtype)) * psi1_b,
+        )
+
+    res = train.fit_minibatch(
+        loss, params, {"X": X, "Y": Yt},
+        iters=iters, batch_size=bs, key=jax.random.PRNGKey(seed),
+        optimizer=optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(optax.cosine_decay_schedule(lr, min(iters, 10000), 0.01)),
+        ),
+    )
+    m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test,
+                           y_init=prep.Y[-y_win:])
+    return res, m, v
+
+
 METHODS: Dict[str, Callable] = {
     "svgp_natgrad": lambda prep, iters, lr, seed, M: _method_svgp_natgrad(
+        prep, iters, lr, seed, M
+    ),
+    "gp_narx_minibatch": lambda prep, iters, lr, seed, M: _method_narx_minibatch(
         prep, iters, lr, seed, M
     ),
     "gp_narx": lambda prep, iters, lr, seed, M: _method_gp_narx(prep, iters, lr, seed, M),

@@ -37,8 +37,14 @@ def _scan_time(fn, args, iters: int) -> float:
     """Per-iteration ms of ``fn(*args)`` fwd+bwd, amortized under lax.scan."""
 
     def body(c, _):
-        out = fn(*args)
-        # fold the output into the carry so the scan cannot be elided
+        # perturb one input by a carry-derived epsilon so the body is
+        # iteration-DEPENDENT: a loop-invariant fn(*args) could otherwise be
+        # hoisted out of the while-loop by XLA's licm and the timing would
+        # silently measure one iteration (ADVICE r3)
+        eps = 1e-30 * c
+        leaves, treedef = jax.tree.flatten(args)
+        leaves = [leaves[0] + jnp.asarray(eps, leaves[0].dtype).astype(leaves[0].dtype)] + leaves[1:]
+        out = fn(*jax.tree.unflatten(treedef, leaves))
         tot = sum(jnp.sum(x) for x in jax.tree.leaves(out))
         return c + tot, None
 

@@ -35,13 +35,12 @@ Dispatch structure (measured constraints of the tunneled backend, round 3):
      ONE jit call is minutes of device time. So warmup is SEGMENTED
      (``nuts_warmup`` is segmentation-invariant: the adaptation schedule keys
      off the carry's step counter) and draws run ONE transition per call.
-  3. Chains are processed in groups of ``--warmup-chains`` so the worst-case
-     (max-depth) transition stays a few seconds per call; groups share the
-     warmup-adapted step size / mass and fold the group offset into the
-     per-chain PRNG keys (``chain_offset``), so the 1024 logical chains are
-     one coherent sampler run, just dispatched in slices. Adaptation runs on
-     one group (dual averaging + pooled Welford are cross-chain averages —
-     128 chains estimate them as well as 1024).
+  3. Chains are processed in groups of ``--group-size`` so the worst-case
+     (max-depth) transition stays a few seconds per call. As of round 4 every
+     group warms up INDEPENDENTLY by default (own jitter, own adaptation, own
+     PRNG stream) so the pooled statistics are honest N-chain diagnostics;
+     ``--shared-warmup`` restores the round-3 throughput-only shortcut, with
+     the duplication recorded in ``independent_warmup_chains`` (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -51,9 +50,14 @@ import json
 import time
 
 
-def _flagship(fit_iters: int, dtype):
+def _flagship(fit_iters: int, dtype, params_npz: str | None = None):
     """Config-1 flagship: 1-layer RGP on actuator, briefly fitted so the
-    potential's geometry (step sizes, tree depths) is the realistic one."""
+    potential's geometry (step sizes, tree depths) is the realistic one.
+
+    ``params_npz``: load the fitted parameter pytree from a flat npz written
+    by :mod:`rgp_tpu.bench.posterior_check` instead of fitting — the TPU f32
+    sampler and the CPU f64 reference chain must share ONE potential (same
+    anchor params) for the moment-agreement validation to mean anything."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -71,6 +75,13 @@ def _flagship(fit_iters: int, dtype):
     cfg = rgp.deep_rgp_config(wins=[0, 10], u_win=10, y_dim=1, u_dim=1,
                               num_inducing=100)
     params = rgp.init_params(cfg, Y, U, dtype=dtype)
+    if params_npz is not None:
+        import numpy as np
+
+        with np.load(params_npz) as z:
+            flat = [jnp.asarray(z[f"p{i}"], dtype) for i in range(len(z.files))]
+        params = jax.tree.unflatten(jax.tree.structure(params), flat)
+        return cfg, params, Y, U, Ut, Yt
     if fit_iters > 0:
         opt = optax.adam(optax.cosine_decay_schedule(1e-2, fit_iters, 0.01))
 
@@ -95,56 +106,88 @@ def _flagship(fit_iters: int, dtype):
 
 def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
                fit_iters: int, seed: int = 0, group_size: int = 128,
-               block: int = 32) -> dict:
+               block: int = 32, target_accept: float = 0.85, seg: int = 3,
+               shared_warmup: bool = False, params_npz: str | None = None) -> dict:
+    """Chains are processed in groups of ``group_size`` (``chains`` must be a
+    multiple — asserted; ADVICE r3). Default protocol (VERDICT r3 #3): every
+    group warms up INDEPENDENTLY — own initial jitter, own dual-averaging /
+    Welford adaptation, own PRNG stream via ``chain_offset`` — so all
+    ``chains`` draw chains are independently warmed and the pooled
+    accept/divergence/R-hat statistics are honest ``chains``-chain
+    diagnostics. ``shared_warmup=True`` restores the round-3 throughput-only
+    shortcut (one warmed group copied across groups); the record then carries
+    ``independent_warmup_chains = group_size`` so readers can't mistake the
+    pooled stats for independent-chain diagnostics.
+
+    ``seg``: warmup steps per device call. The tunnel watchdog kills any
+    single device program over ~60 s; one depth-6 step of a 128-chain group
+    is ~5 s of device time (compute-bound: 63 leapfrog gradient evaluations
+    per saturated tree — warmup is NOT dispatch-bound, so larger segments
+    only trim the ~50 ms/call dispatch overhead), hence seg=3 keeps calls
+    ~15 s with ~1% dispatch overhead. ``warmup % seg == 0`` is asserted
+    (ADVICE r3: a trailing partial segment would silently run extra steps).
+    """
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from ..sample.api import make_rgp_potential
+    from ..sample.diagnostics import ess, split_rhat
     from ..sample.nuts import nuts_draw, nuts_init, nuts_warmup
 
-    cfg, params, Y, U, _, _ = _flagship(fit_iters, jnp.float32)
+    assert chains % group_size == 0, "chains must be a multiple of --group-size"
+    assert warmup % seg == 0, "warmup must be a multiple of --seg"
+    cfg, params, Y, U, _, _ = _flagship(fit_iters, jnp.float32, params_npz)
     potential, flat0, _ = make_rgp_potential(
         cfg, params, Y, U, block=block, psi_prefer="scan", fixed_whitening=True
     )
     key = jax.random.PRNGKey(seed)
     k_init, k_warm, k_draw = jax.random.split(key, 3)
     wc = min(group_size, chains)
-    n_groups = -(-chains // wc)
+    n_groups = chains // wc
 
     # Hessian-diagonal mass preconditioning: without it the dual averaging
     # collapses eps to ~1e-5 on this stiff posterior (measured; see
     # nuts_init docstring) and every tree saturates max_depth
     Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
-    z0 = flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
-        k_init, (wc, flat0.shape[0]), flat0.dtype
-    )
 
-    seg = 2  # warmup steps per device call (watchdog: keep calls ~seconds)
+    def group_z0(g):
+        kg = jax.random.fold_in(k_init, g)
+        return flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+            kg, (wc, flat0.shape[0]), flat0.dtype
+        )
+
     warm = jax.jit(
-        lambda c: nuts_warmup(
-            potential, c, k_warm, seg, n_warmup=warmup, max_depth=max_depth
+        lambda c, off: nuts_warmup(
+            potential, c, k_warm, seg, n_warmup=warmup, max_depth=max_depth,
+            target_accept=target_accept, chain_offset=off,
         )
     )
-    carry = nuts_init(z0, n_chains=wc, mass_inv=mass_inv0)
-    carry = warm(carry)
-    float(carry.zs[0, 0])  # compile + host-read sync
-    carry = nuts_init(z0, n_chains=wc, mass_inv=mass_inv0)
-    t0 = time.perf_counter()
-    for _ in range(0, warmup, seg):
-        carry = warm(carry)
+    # compile both executables before timing
+    carry = warm(nuts_init(group_z0(0), n_chains=wc, mass_inv=mass_inv0), 0)
     float(carry.zs[0, 0])
+
+    n_warm_groups = 1 if shared_warmup else n_groups
+    group_carries = []
+    t0 = time.perf_counter()
+    for g in range(n_warm_groups):
+        c = nuts_init(group_z0(g), n_chains=wc, mass_inv=mass_inv0)
+        for _ in range(0, warmup, seg):
+            c = warm(c, g * wc)
+        group_carries.append(c)
+    for c in group_carries:
+        float(c.zs[0, 0])  # host-read barrier
     t_warm = time.perf_counter() - t0
+    if shared_warmup:
+        group_carries = [group_carries[0] for _ in range(n_groups)]
 
     draw1 = jax.jit(
         lambda c, off: nuts_draw(potential, c, k_draw, 1,
                                  max_depth=max_depth, chain_offset=off)
     )
-    _ = draw1(carry, 0)
+    _ = draw1(group_carries[0], 0)
     float(_[0].zs[0, 0])  # compile + sync
-    # every group starts from the warmup-final positions; the per-group
-    # chain_offset folds into the PRNG keys so duplicates diverge immediately
-    group_carries = [carry for _ in range(n_groups)]
     results = []
     t0 = time.perf_counter()
     for g in range(n_groups):
@@ -160,26 +203,51 @@ def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
     accs = jnp.concatenate([r.accept_prob.ravel() for r in results])
     divs = jnp.concatenate([r.diverging.ravel() for r in results])
     total_draws = n_groups * wc * samples
+    eps_per_group = [round(float(jnp.exp(c.da.log_eps_avg)), 5) for c in group_carries]
+
+    details = {
+        "backend": jax.default_backend(),
+        "chains": chains,
+        "chain_group_size": wc,
+        "independent_warmup_chains": wc * n_warm_groups,
+        "n_samples": samples,
+        "n_warmup": warmup,
+        "warmup_seg": seg,
+        "max_depth": max_depth,
+        "target_accept": target_accept,
+        "draw_seconds": round(t_draw, 2),
+        "warmup_seconds": round(t_warm, 2),
+        # chain-steps/s over every independently-warmed chain (first-class,
+        # VERDICT r3 #8: real runs are warmup-dominated, so the warmup rate
+        # belongs next to the draw rate)
+        "warmup_samples_per_sec": round(n_warm_groups * wc * warmup / t_warm, 1),
+        "mean_accept": round(float(accs.mean()), 3),
+        "divergence_rate": round(float(divs.mean()), 4),
+        "step_size_per_group": eps_per_group,
+        "potential_dim": int(flat0.shape[0]),
+    }
+    # cross-chain convergence diagnostics on the potential-energy trace
+    # (draws, per group in dispatch order) — needs >= 4 draws per chain
+    if samples >= 4:
+        # (n_groups, samples) blocks of (wc, 1) -> (chains, samples)
+        U_draws = np.concatenate(
+            [
+                np.concatenate(
+                    [np.asarray(r.potential) for r in results[g * samples:(g + 1) * samples]],
+                    axis=1,
+                )
+                for g in range(n_groups)
+            ],
+            axis=0,
+        )
+        details["potential_split_rhat"] = round(float(split_rhat(U_draws)), 4)
+        details["potential_ess"] = round(float(ess(U_draws)), 1)
     return {
-        "metric": f"nuts_samples_per_sec[rgp1L_actuator_M100_chains{n_groups * wc}]",
+        "metric": f"nuts_samples_per_sec[rgp1L_actuator_M100_chains{chains}]",
         "value": round(total_draws / t_draw, 1),
         "unit": "samples/s",
         "vs_baseline": None,
-        "details": {
-            "backend": jax.default_backend(),
-            "chains": n_groups * wc,
-            "chain_group_size": wc,
-            "n_samples": samples,
-            "n_warmup": warmup,
-            "max_depth": max_depth,
-            "draw_seconds": round(t_draw, 2),
-            "warmup_seconds": round(t_warm, 2),
-            "warmup_samples_per_sec": round(wc * warmup / t_warm, 1),
-            "mean_accept": round(float(accs.mean()), 3),
-            "divergence_rate": round(float(divs.mean()), 4),
-            "step_size": round(float(jnp.exp(carry.da.log_eps_avg)), 5),
-            "potential_dim": int(flat0.shape[0]),
-        },
+        "details": details,
     }
 
 
@@ -228,12 +296,21 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--what", "--sampler", dest="what", choices=("nuts", "smc"),
                     default="nuts")
-    ap.add_argument("--chains", type=int, default=1024)
+    ap.add_argument("--chains", type=int, default=256,
+                    help="must be a multiple of --group-size")
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--particles", type=int, default=1024)
-    ap.add_argument("--warmup", type=int, default=50)
-    ap.add_argument("--samples", "--draws", dest="samples", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=96,
+                    help="total warmup steps (multiple of --seg)")
+    ap.add_argument("--samples", "--draws", dest="samples", type=int, default=16)
     ap.add_argument("--max-depth", type=int, default=6)
+    ap.add_argument("--target-accept", type=float, default=0.85)
+    ap.add_argument("--seg", type=int, default=3,
+                    help="warmup steps per device call (watchdog bound)")
+    ap.add_argument("--shared-warmup", action="store_true",
+                    help="round-3 shortcut: one warmed group copied to all")
+    ap.add_argument("--params-npz", default=None,
+                    help="load anchor params from posterior_check fit")
     ap.add_argument("--fit-iters", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -241,7 +318,10 @@ def main(argv=None):
     if args.what == "nuts":
         out = bench_nuts(args.chains, args.warmup, args.samples,
                          args.max_depth, args.fit_iters, args.seed,
-                         group_size=args.group_size)
+                         group_size=args.group_size,
+                         target_accept=args.target_accept, seg=args.seg,
+                         shared_warmup=args.shared_warmup,
+                         params_npz=args.params_npz)
     else:
         out = bench_smc(args.particles, args.fit_iters, args.seed)
     print(json.dumps(out))

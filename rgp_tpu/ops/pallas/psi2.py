@@ -30,8 +30,12 @@ f32, HIGHEST matmul precision, fwd+bwd vs the XLA chunked scan:
 T=2048/M=256/Q=32: 5.60 vs 6.34 ms (-12%); T=8192/M=256/Q=32: 17.5 vs 20.6 ms
 (-15%); forward alone ties (2.7 vs 2.7 ms at T=2048/M=256/Q=24 — both near
 the VPU-exp roofline). The win comes from the backward never materializing
-the (T, M, M) forward residual + cotangent in HBM. Wired as the DEFAULT on
-TPU above T*M^2 >= 2^24 (`ops/psi_stats.py` platform_dependent dispatch);
+the (T, M, M) forward residual + cotangent in HBM. Round 3 re-measured the
+policy fwd+bwd across 7 production shapes and found the then-current XLA
+toolchain's remat fusion of the DENSE form faster than both this kernel and
+the chunked scan at every production shape, so the kernel is now OPT-IN via
+``RGP_TPU_PALLAS_PSI2=1`` (`ops/psi_stats.py` measured dispatch policy; the
+kernel still wins the forward alone: 67% vs 62% of the exp ceiling);
 gradients agree with autodiff to ~4e-7 relative (tests/test_pallas.py).
 (DEFAULT bf16 matmul precision would give 2.2 ms fwd but its 2e-3 relative
 error is unacceptable for bound stability — see the f32 Psi2 indefiniteness

@@ -44,6 +44,11 @@ __all__ = [
 ]
 
 
+# chain count above which sample_nuts auto-selects the many-chain potential
+# dispatch (scan psi + small block + frozen whitening) — see sample_nuts
+_MANY_CHAINS = 64
+
+
 def split_hypers(params):
     """Extract the hyperparameter subtree (kernel params + noises)."""
     return {
@@ -117,6 +122,9 @@ def sample_nuts(
     prior_std: float = 3.0,
     jitter_init: float = 0.1,
     hessian_precondition: bool = False,
+    psi_prefer: Optional[str] = None,
+    block: Optional[int] = None,
+    fixed_whitening: Optional[bool] = None,
     **nuts_kw,
 ) -> NUTSResult:
     """NUTS over RGP hyperparameters (Appendix B ``rgp.sample_nuts``).
@@ -126,8 +134,27 @@ def sample_nuts(
     the standard stiffness fix for GP hyperparameter posteriors, whose
     curvature spans many orders of magnitude across noise vs lengthscale
     directions (see :func:`rgp_tpu.sample.nuts.nuts_init`). Costs dim
-    forward-over-reverse passes once."""
-    potential, flat0, _ = make_rgp_potential(cfg, params, Y, U, prior_std=prior_std)
+    forward-over-reverse passes once.
+
+    ``psi_prefer``/``block``/``fixed_whitening`` configure the potential (see
+    :func:`make_rgp_potential`). Defaults AUTO-SELECT by chain count: above
+    ``_MANY_CHAINS`` chains the dense-psi2 dispatch under the chain vmap would
+    materialize a (chains, T, M, M) intermediate (measured: the remote
+    compiler dies at 1024 chains on v5e) and a fresh per-evaluation eigh makes
+    the leapfrog eigh-bound — so many-chain runs default to the scan psi path
+    with a small block and a frozen whitening basis, exactly the dispatch the
+    config-5 benchmark uses (ADVICE r3 medium)."""
+    many = n_chains >= _MANY_CHAINS
+    if psi_prefer is None:
+        psi_prefer = "scan" if many else "auto"
+    if block is None and many:
+        block = 32
+    if fixed_whitening is None:
+        fixed_whitening = many
+    potential, flat0, _ = make_rgp_potential(
+        cfg, params, Y, U, prior_std=prior_std,
+        psi_prefer=psi_prefer, block=block, fixed_whitening=fixed_whitening,
+    )
     k_init, k_run = jax.random.split(jnp.asarray(key))
     scale = jnp.ones_like(flat0)
     if hessian_precondition:
@@ -145,9 +172,16 @@ def sample_nuts(
     )
 
 
-def sample_hmc(cfg, params, Y, U, key, *, prior_std: float = 3.0, **hmc_kw):
-    """Reference-parity vanilla HMC over RGP hyperparameters (S3.5)."""
-    potential, flat0, _ = make_rgp_potential(cfg, params, Y, U, prior_std=prior_std)
+def sample_hmc(cfg, params, Y, U, key, *, prior_std: float = 3.0,
+               psi_prefer: str = "auto", block=None, fixed_whitening: bool = False,
+               **hmc_kw):
+    """Reference-parity vanilla HMC over RGP hyperparameters (S3.5).
+    ``psi_prefer``/``block``/``fixed_whitening`` pass through to
+    :func:`make_rgp_potential` (many-chain vmap dispatch, ADVICE r3)."""
+    potential, flat0, _ = make_rgp_potential(
+        cfg, params, Y, U, prior_std=prior_std,
+        psi_prefer=psi_prefer, block=block, fixed_whitening=fixed_whitening,
+    )
     return hmc_sample(potential, flat0, jnp.asarray(key), **hmc_kw)
 
 

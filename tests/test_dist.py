@@ -31,9 +31,6 @@ def test_mesh_construction():
 @pytest.mark.slow  # certain-inputs DP variant; the uncertain-inputs
 # value+grad gate stays fast, and the certain psi path is also sharding-gated
 # by test_inducing_sharding (~22 s of shard_map compile cold)
-@pytest.mark.slow  # certain-inputs DP variant; the uncertain-inputs
-# value+grad gate stays fast, and the certain psi path is also sharding-gated
-# by test_inducing_sharding (~22 s of shard_map compile cold)
 def test_sharded_elbo_certain_inputs(rng):
     kern, params, X_mu, _, Y = _problem(rng, uncertain=False)
     stats = psi_statistics(kern, params["kern"], params["Z"], X_mu, None, block=None)

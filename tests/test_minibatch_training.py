@@ -64,3 +64,67 @@ def test_minibatch_without_natgrad():
     e0 = float(svgp.elbo(cfg, params, X, Y))
     e1 = float(svgp.elbo(cfg, res.params, X, Y))
     assert e1 > e0
+
+
+def test_minibatch_collapsed_suffstats_route():
+    """Config 4, collapsed route (VERDICT r3 #1): the T/B-scaled batch
+    sufficient statistics give (a) an estimator of the full collapsed bound
+    whose batch-average is close to the exact bound, and (b) a minibatch
+    optimizer whose optimum's EXACT full-data bound improves substantially
+    (the freerun-quality gate runs on TPU via the harness; this is the
+    correctness gate for the estimator + training loop)."""
+    from rgp_tpu.inference.collapsed_vi import (
+        collapsed_bound_from_suffstats,
+    )
+    from rgp_tpu.linalg import hdot
+    from rgp_tpu.models import sparse_gp
+    from rgp_tpu.ops.psi_stats import psi01
+
+    X, Y = _problem(T=600)
+    T, D = Y.shape
+    kern = RBF(input_dim=X.shape[1])
+    cfg = sparse_gp.SparseGPConfig(kern, 16)
+    params = sparse_gp.init_params(cfg, np.asarray(X), noise=0.2, dtype=jnp.float64)
+
+    def stoch_bound(p, idx):
+        B = idx.shape[0]
+        w = T / B
+        Xb, Yb = X[idx], Y[idx]
+        psi0_b, psi1_b = psi01(kern, p["kern"], p["Z"], Xb, None)
+        return collapsed_bound_from_suffstats(
+            kern, p["kern"], p["Z"], p["log_noise"],
+            w * jnp.sum(psi0_b), w * hdot(psi1_b.T, Yb), None,
+            w * jnp.sum(Yb**2), T, D,
+            psi1_factor=jnp.sqrt(jnp.asarray(w, psi1_b.dtype)) * psi1_b,
+        )
+
+    exact = float(sparse_gp.elbo(cfg, params, X, Y))
+    key = jax.random.PRNGKey(0)
+    vals = []
+    for i in range(24):
+        idx = jax.random.randint(jax.random.fold_in(key, i), (128,), 0, T)
+        vals.append(float(stoch_bound(params, idx)))
+    # biased (nonlinear assembly) but concentrated: batch-mean within a few
+    # percent of the exact bound at B=128 of T=600
+    rel = abs(np.mean(vals) - exact) / abs(exact)
+    assert rel < 0.05, (np.mean(vals), exact)
+
+    def loss(p, batch):
+        psi0_b, psi1_b = psi01(kern, p["kern"], p["Z"], batch["X"], None)
+        B = batch["X"].shape[0]
+        w = T / B
+        return -collapsed_bound_from_suffstats(
+            kern, p["kern"], p["Z"], p["log_noise"],
+            w * jnp.sum(psi0_b), w * hdot(psi1_b.T, batch["Y"]), None,
+            w * jnp.sum(batch["Y"] ** 2), T, D,
+            psi1_factor=jnp.sqrt(jnp.asarray(w, psi1_b.dtype)) * psi1_b,
+        )
+
+    res = train.fit_minibatch(
+        loss, params, {"X": X, "Y": Y},
+        iters=200, batch_size=96, key=jax.random.PRNGKey(2), learning_rate=1e-2,
+    )
+    e0 = exact
+    e1 = float(sparse_gp.elbo(cfg, res.params, X, Y))
+    assert np.isfinite(np.asarray(res.losses)).all()
+    assert e1 > e0 + 10.0, (e0, e1)

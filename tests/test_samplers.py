@@ -247,3 +247,34 @@ def test_tempered_smc_reports_truncation():
         jax.random.PRNGKey(0), 128, max_stages=3,
     )
     assert int(res.n_stages) == 3 and float(res.beta_final) < 1.0
+
+
+# --------------------------------------------------------------- diagnostics
+
+
+def test_diagnostics_iid_and_correlated():
+    """split_rhat ~ 1 and ESS ~ N for iid chains; AR(1) shrinks ESS by
+    ~(1-rho)/(1+rho); a shifted chain inflates rhat (Vehtari et al. 2021)."""
+    import numpy as np
+
+    from rgp_tpu.sample.diagnostics import ess, split_rhat, summarize
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 1000))
+    assert abs(float(split_rhat(x)) - 1.0) < 0.01
+    assert 0.8 * 4000 < float(ess(x)) <= 4400
+
+    rho = 0.9
+    z = np.zeros((4, 4000))
+    e = rng.standard_normal((4, 4000))
+    for t in range(1, 4000):
+        z[:, t] = rho * z[:, t - 1] + np.sqrt(1 - rho**2) * e[:, t]
+    ratio = float(ess(z)) / 16000.0
+    assert 0.02 < ratio < 0.12  # theory: (1-rho)/(1+rho) = 0.053
+
+    y = x.copy()
+    y[0] += 5.0
+    assert float(split_rhat(y)) > 1.5
+
+    s = summarize(rng.standard_normal((4, 500, 3)))
+    assert s["max_rhat"] < 1.02 and s["min_ess"] > 1000
