@@ -1,0 +1,129 @@
+"""One entry point that regenerates EVERY headline number (VERDICT r3 #6).
+
+Runs each BASELINE config (1-5, serving, the depth table) as a SUBPROCESS —
+one TPU process at a time is an environment constraint, and a subprocess
+crash must not lose the rows already measured — appending one JSON line per
+entry to ``artifacts/bench_all_r{N}.jsonl`` AS IT COMPLETES, and echoing each
+row to stdout. Rows can therefore never silently go stale: re-running this
+module refreshes the lot (the round-3 failure mode was BASELINE.md carrying
+config-2/3 numbers measured on code two rewrites old).
+
+Usage:
+    python -m rgp_tpu.bench.all --round 4            # full sweep (~1-2 h)
+    python -m rgp_tpu.bench.all --round 4 --quick    # smoke sweep (~15 min)
+    python -m rgp_tpu.bench.all --only config4,depth # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+_REPO = pathlib.Path(__file__).resolve().parents[2]
+
+
+def _entries(quick: bool):
+    """(name, argv, timeout_s) per headline row. ``quick`` shrinks budgets to
+    smoke scale (for rehearsal; official rows use the full budgets)."""
+    it = "300" if quick else "10000"
+    it4 = "1000" if quick else "10000"
+    nuts = (["--chains", "128", "--warmup", "24", "--samples", "8"]
+            if quick else
+            ["--chains", "256", "--warmup", "96", "--samples", "16"])
+    return [
+        ("config1_rgp1_actuator",
+         [sys.executable, str(_REPO / "bench.py"), "--iters", it], 7200),
+        ("config2_rgp2_drives",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "drives",
+          "--method", "rgp2", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
+        ("config2_rgp2_mlp_drives",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "drives",
+          "--method", "rgp2_mlp", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
+        ("config3_gp_narx_actuator",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "actuator",
+          "--method", "gp_narx", "--iters", "300" if quick else "2000"], 3600),
+        ("config4_narx_minibatch_long_corpus",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "gp_narx_minibatch", "--iters", it4], 7200),
+        ("config4_svgp_natgrad_long_corpus",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "svgp_natgrad", "--iters", it4], 7200),
+        ("config5_nuts",
+         [sys.executable, "-m", "rgp_tpu.bench.sampling", "--what", "nuts"]
+         + nuts, 10800),
+        ("config5_smc",
+         [sys.executable, "-m", "rgp_tpu.bench.sampling", "--what", "smc",
+          "--particles", "1024"], 3600),
+        ("serving",
+         [sys.executable, "-m", "rgp_tpu.bench.serving"], 3600),
+        # depth table (VERDICT r3 #2): the task whose ground truth has genuine
+        # two-layer latent structure, all four methods
+        ("depth_tanks_rgp1",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
+          "--method", "rgp1", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
+        ("depth_tanks_rgp2",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
+          "--method", "rgp2", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
+        ("depth_tanks_rgp2_mlp",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
+          "--method", "rgp2_mlp", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
+        ("depth_tanks_gp_narx",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
+          "--method", "gp_narx", "--iters", "300" if quick else "2000"], 3600),
+    ]
+
+
+def run_all(round_no: int, quick: bool = False, only=None) -> list:
+    out_path = _REPO / "artifacts" / f"bench_all_r{round_no}.jsonl"
+    out_path.parent.mkdir(exist_ok=True)
+    rows = []
+    for name, argv, timeout in _entries(quick):
+        if only and name not in only and not any(name.startswith(o) for o in only):
+            continue
+        t0 = time.perf_counter()
+        row = {"name": name, "argv": argv[1:], "quick": quick}
+        try:
+            r = subprocess.run(argv, capture_output=True, timeout=timeout,
+                               cwd=str(_REPO), env=os.environ.copy())
+            lines = [l for l in r.stdout.decode().strip().splitlines() if l.strip()]
+            row["result"] = json.loads(lines[-1]) if lines else None
+            row["returncode"] = r.returncode
+            if r.returncode != 0:
+                row["stderr_tail"] = r.stderr.decode()[-2000:]
+        except subprocess.TimeoutExpired:
+            row["result"] = None
+            row["error"] = f"timeout@{timeout}s"
+        except Exception as e:  # keep sweeping; record the failure
+            row["result"] = None
+            row["error"] = repr(e)[:500]
+        row["wall_seconds"] = round(time.perf_counter() - t0, 1)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--round", type=int, default=0)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated entry-name (prefixes) to run")
+    args = ap.parse_args(argv)
+    only = set(args.only.split(",")) if args.only else None
+    run_all(args.round, quick=args.quick, only=only)
+
+
+if __name__ == "__main__":
+    main()

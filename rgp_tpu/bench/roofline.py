@@ -310,7 +310,38 @@ def measure_ops(T: int = 2048, M: int = 256, Q: int = 32) -> list[dict]:
         mxu_flops=3.0 * 2.0 * T * M * M * Q + 2.0 * T * M * M + 12.0 * M**3,
         exps=2.0 * T * M * M + 3.0 * T * M,
         bytes_min=B * (2 * (2 * T * Q + M * Q + T * M) + 4 * M * M),
-        note="psi stats + whitening + solves + assembly, fwd+bwd",
+        note="psi stats + whitening + solves + assembly, fwd+bwd; includes a "
+             "PER-CALL eigh + floor-ladder that production amortizes",
+    )
+
+    # The PRODUCTION configuration (VERDICT r3 #5): training amortizes the
+    # whitening eigh over _WHITEN_EVERY=100 steps (bench.py / fit_adam
+    # aux_fn), so the per-step cost excludes the eigh + ladder trials. This
+    # row is the honest per-step utilization of the as-benchmarked step.
+    from ..inference.collapsed_vi import whitening_basis
+    from ..params import positive as _pos
+
+    def _wh(p, Z, log_noise, mu, s):
+        stats = ps.psi_statistics(kern, p, Z, mu, s, block=None)
+        Kmm = kern.K(p, Z, Z)
+        return whitening_basis(Kmm, stats.psi2, 1.0 / _pos(log_noise))
+
+    wh = jax.jit(_wh)(p, Z, log_noise, mu, s)
+
+    def bound_amort(p, Z, log_noise, mu, s):
+        stats = ps.psi_statistics(kern, p, Z, mu, s, block=None)
+        return collapsed_bound(kern, p, Z, log_noise, stats, Y, W=wh)
+
+    f = jax.jit(jax.value_and_grad(bound_amort, argnums=(0, 1, 2, 3, 4)))
+    t = _timeit(f, p, Z, log_noise, mu, s)
+    add(
+        "collapsed_bound_fwd_bwd_amortized_whitening",
+        t,
+        mxu_flops=3.0 * 2.0 * T * M * M * Q + 2.0 * T * M * M + 3.0 * M**3,
+        exps=2.0 * T * M * M + 3.0 * T * M,
+        bytes_min=B * (2 * (2 * T * Q + M * Q + T * M) + 4 * M * M),
+        note="production step (whitening basis precomputed, refreshed every "
+             "100 train steps): psi stats + solves + assembly fwd+bwd only",
     )
     return ops
 
@@ -357,9 +388,23 @@ def capture_trace(log_dir: str, T: int = 2048, M: int = 256, Q: int = 32):
     kern = RBF(input_dim=Q)
     p = _rbf_params(Q)
 
+    # trace the PRODUCTION step: amortized whitening basis (see measure_ops),
+    # so the per-op table answers where the non-psi2 time of the production
+    # fwd+bwd goes (VERDICT r3 #5) rather than re-measuring the per-call eigh
+    from ..inference.collapsed_vi import whitening_basis
+    from ..params import positive as _pos
+
+    ln = jnp.asarray(0.0, jnp.float32)
+
+    def _wh(p, Z, mu, s):
+        stats = ps.psi_statistics(kern, p, Z, mu, s, block=None)
+        return whitening_basis(kern.K(p, Z, Z), stats.psi2, 1.0 / _pos(ln))
+
+    wh = jax.jit(_wh)(p, Z, mu, s)
+
     def bound(p, Z, mu, s):
         stats = ps.psi_statistics(kern, p, Z, mu, s, block=None)
-        return collapsed_bound(kern, p, Z, jnp.asarray(0.0, jnp.float32), stats, Y)
+        return collapsed_bound(kern, p, Z, ln, stats, Y, W=wh)
 
     f = jax.jit(jax.value_and_grad(bound, argnums=(0, 1, 2, 3)))
     # _host_sync, not block_until_ready: on the tunneled backend the latter

@@ -40,3 +40,17 @@ def test_harness_svgp_natgrad_smoke():
     out = harness.run("gas_furnace", "svgp_natgrad", iters=60, num_inducing=8)
     assert np.isfinite(out["freerun_rmse"])
     assert out["elbo_last"] > out["elbo_first"]
+
+
+def test_tanks_dataset_and_minibatch_method():
+    """Round-4 additions: the depth-benchmark task (tanks) is registered,
+    deterministic and finite; the collapsed-minibatch config-4 method runs
+    through the same harness protocol."""
+    a, b = datasets.load("tanks"), datasets.load("tanks")
+    for x, y in zip(a[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert all(np.isfinite(np.asarray(x)).all() for x in a[:4])
+    assert "tanks" in harness.TASKS and "gp_narx_minibatch" in harness.METHODS
+    out = harness.run("gas_furnace", "gp_narx_minibatch", iters=60, num_inducing=8)
+    assert np.isfinite(out["freerun_rmse"])
+    assert out["elbo_last"] > out["elbo_first"]
