@@ -150,6 +150,68 @@ def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: i
     return res, m, v
 
 
+def _method_narx_collapsed_full(prep: _Prepared, iters: int, lr: float,
+                                seed: int, M: int, noise_floor: float = 1e-4):
+    """Config 4, EXACT route (VERDICT r3 #1): full-corpus collapsed GP-NARX
+    bound every step. Viable at T ~ 12k because the certain-input psi path is
+    one MXU matmul (Psi2 = Psi1^T Psi1; `ops/psi_stats.py` round-4 dispatch) —
+    the bound is assembled from the same additive sufficient statistics the
+    data-parallel psum path reduces, so on a mesh this IS the accumulated-
+    psi-statistics minibatch VI of SURVEY.md S3.4 with the 'minibatch' equal
+    to each device's time shard. No estimator bias, so the optimum is the
+    free-runnable full-batch optimum.
+
+    ``noise_floor``: additive lower bound on the noise variance (data is
+    standardized, so 1e-4 = -40 dB). Measured necessity: in f32, once beta
+    grows past ~1e6 late in a long cosine schedule, rounding in the
+    beta^2 ||c||^2 vs beta ||Y||^2 cancellation lets the 'bound' climb to
+    ~1e15 nonsense and the noise collapses (run recorded in BASELINE.md);
+    the floor caps beta at 1e4 where the whitened f32 assembly is accurate
+    to well under a nat. The reference ecosystem's equivalent is paramz's
+    constrain_bounded on Gaussian noise [H].
+
+    Whitening amortized over 100-step chunks (fit_adam aux_fn), matching the
+    config-1 protocol."""
+    import jax
+    import optax
+
+    from ..data.windows import narx_design
+    from ..inference.collapsed_vi import collapsed_bound, whitening_basis
+
+    y_win, u_win = 10, 5
+    X, Yt = narx_design(prep.Y, prep.U, y_win, u_win)
+    cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=X.shape[1]), num_inducing=M,
+                             y_win=y_win, u_win=u_win)
+    from ..models import sparse_gp
+    from ..ops.psi_stats import psi_statistics
+    from ..params import positive
+
+    params = sparse_gp.init_params(cfg.sparse, X, noise=0.1, seed=seed)
+    kern = cfg.kernel
+
+    def floored_log_noise(p):
+        return jnp.log(jnp.expm1(positive(p["log_noise"]) + noise_floor))
+
+    def loss(p, wh):
+        stats = psi_statistics(kern, p["kern"], p["Z"], X, None)
+        return -collapsed_bound(
+            kern, p["kern"], p["Z"], floored_log_noise(p), stats, Yt,
+            certain=True, W=wh,
+        )
+
+    res = train.fit_adam(
+        loss, params, iters=iters,
+        optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
+        aux_fn=lambda p: whitening_basis(kern.K(p["kern"], p["Z"])),
+        aux_every=100,
+    )
+    p = dict(res.params)
+    p["log_noise"] = floored_log_noise(res.params)  # freerun sees the same model
+    m, v = gp_narx.freerun(cfg, p, prep.Y, prep.U, prep.U_test,
+                           y_init=prep.Y[-y_win:])
+    return res, m, v
+
+
 def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
                            M: int, batch_size: int = 512):
     """Config 4, collapsed route (VERDICT r3 #1): minibatch the COLLAPSED

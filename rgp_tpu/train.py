@@ -204,6 +204,8 @@ def fit_minibatch(
     natgrad_lr=0.1,  # float or callable(step_index) -> float (decay schedule)
     natgrad_loss: Optional[Callable] = None,
     jit: bool = True,
+    aux_fn: Optional[Callable] = None,
+    aux_every: int = 1,
 ) -> FitResult:
     """Stochastic minibatch training (reference S3.4: climin Adam / SVI loop).
 
@@ -211,6 +213,12 @@ def fit_minibatch(
     gathered from ``data`` (leading axis = time/datapoints) at ``batch_size``
     random indices per step. The whole loop — including index sampling — runs
     inside one ``lax.scan`` under jit.
+
+    ``aux_fn``: optional ``aux_fn(params) -> aux`` recomputed every
+    ``aux_every`` steps (chunked scan, same pattern as :func:`fit_adam`); the
+    loss is then called as ``loss_fn(params, batch, aux)``. Amortizes
+    expensive stop-gradient preconditioners (e.g. the spectral whitening
+    basis, whose per-step eigh dominates a small-M minibatch step).
 
     ``natgrad_block``: optional name of a params sub-key (e.g. ``'qu'``)
     updated by a natural-gradient step (SURVEY.md A.5, config 4) interleaved
@@ -230,12 +238,17 @@ def fit_minibatch(
     def run(p0, key):
         state0 = opt.init(p0)
 
-        def step(carry, ki):
+        def step(carry, ki, aux=None):
             k, i = ki
             p, s = carry
             idx = jax.random.randint(k, (batch_size,), 0, n_total)
             batch = jax.tree.map(lambda a: a[idx], data)
-            loss, g = jax.value_and_grad(loss_fn)(p, batch)
+            if aux_fn is None:
+                loss, g = jax.value_and_grad(loss_fn)(p, batch)
+            else:
+                loss, g = jax.value_and_grad(
+                    lambda q: loss_fn(q, batch, aux)
+                )(p)
             if natgrad_block is not None:
                 # zero the block's Adam gradient; natural-gradient it instead
                 g = {**g, natgrad_block: jax.tree.map(jnp.zeros_like, g[natgrad_block])}
@@ -253,8 +266,33 @@ def fit_minibatch(
 
         keys = jax.random.split(key, iters)
         steps_i = jnp.arange(iters)
-        (p, _), losses = jax.lax.scan(step, (p0, state0), (keys, steps_i))
-        return p, losses
+
+        if aux_fn is None:
+            (p, _), losses = jax.lax.scan(step, (p0, state0), (keys, steps_i))
+            return p, losses
+
+        n_outer = -(-iters // aux_every)
+        n_pad = n_outer * aux_every
+        keys = jnp.concatenate([keys, keys[: n_pad - iters]], axis=0)
+        steps_pad = jnp.concatenate([steps_i, steps_i[: n_pad - iters]], axis=0)
+
+        def outer(carry, kis):
+            p, s = carry
+            aux = aux_fn(p)
+            (p, s), losses = jax.lax.scan(
+                lambda c, ki: step(c, ki, aux), (p, s), kis
+            )
+            return (p, s), losses
+
+        (p, _), losses = jax.lax.scan(
+            outer,
+            (p0, state0),
+            (
+                keys.reshape(n_outer, aux_every, -1),
+                steps_pad.reshape(n_outer, aux_every),
+            ),
+        )
+        return p, losses.reshape(-1)[:iters]
 
     if jit:
         run = jax.jit(run)
