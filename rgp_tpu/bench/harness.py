@@ -285,6 +285,9 @@ METHODS: Dict[str, Callable] = {
     "gp_narx_minibatch": lambda prep, iters, lr, seed, M: _method_narx_minibatch(
         prep, iters, lr, seed, M
     ),
+    "gp_narx_collapsed": lambda prep, iters, lr, seed, M: _method_narx_collapsed_full(
+        prep, iters, lr, seed, M
+    ),
     "gp_narx": lambda prep, iters, lr, seed, M: _method_gp_narx(prep, iters, lr, seed, M),
     "rgp1": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 10]),
     "rgp2": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 6, 6]),
@@ -309,10 +312,20 @@ def run(
     num_inducing: int = 100,
     restarts: int = 1,
     dtype=jnp.float32,
+    steady: bool = False,
 ) -> dict:
     """``restarts > 1`` runs multiple seeds and keeps the best final ELBO —
-    the standard stabilizer for the multimodal REVARB objective."""
+    the standard stabilizer for the multimodal REVARB objective.
+
+    ``steady``: run the method once untimed (claims the device, fills the
+    persistent compile cache), then time a second identical run — the same
+    steady-state protocol bench.py uses for the config-1 headline ("compile
+    excluded"). Without it, wall time on this backend is dominated by the
+    one-time device claim (~25-60 s) and scan compiles, not by training."""
     prep = _prepare(task, dtype=dtype)
+    if steady:
+        out = METHODS[method](prep, iters, lr, seed, num_inducing)
+        float(out[0].losses[-1])  # host-read barrier before restarting the clock
     t0 = time.perf_counter()
     best = None
     for r in range(restarts):
@@ -321,7 +334,8 @@ def run(
         if best is None or final_elbo > best[0]:
             best = (final_elbo, out)
     res, means, vars_ = best[1]
-    jax.block_until_ready(means)
+    # host-read sync (block_until_ready returns early on the tunneled backend)
+    float(np.asarray(means[0, 0]))
     wall = time.perf_counter() - t0
     m_raw = prep.sy.inverse(np.asarray(means))
     rmse = float(np.sqrt(np.mean((m_raw - prep.y_test_raw) ** 2)))
@@ -338,6 +352,7 @@ def run(
         "wall_seconds": round(wall, 2),
         "iters_per_sec": round(iters / wall, 2),
         "restarts": restarts,
+        "steady": steady,
         "backend": jax.default_backend(),
     }
 
@@ -359,10 +374,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-inducing", type=int, default=100)
     ap.add_argument("--restarts", type=int, default=1)
+    ap.add_argument("--steady", action="store_true",
+                    help="time a second warm run (claim+compiles excluded), "
+                         "the bench.py steady-state protocol")
     args = ap.parse_args(argv)
     out = run(
         args.task, args.method, iters=args.iters, lr=args.lr, seed=args.seed,
         num_inducing=args.num_inducing, restarts=args.restarts,
+        steady=args.steady,
     )
     print(json.dumps(out))
 
