@@ -294,6 +294,12 @@ METHODS: Dict[str, Callable] = {
     "rgp2_mlp": lambda prep, iters, lr, seed, M: _method_rgp(
         prep, iters, lr, seed, M, [0, 6, 6], back_cstr=True, mlp=(32,)
     ),
+    # 1-layer back-constrained control for the depth table: holds the
+    # amortization (which is what keeps long-schedule rollouts healthy —
+    # BASELINE.md round-4 depth study) fixed while varying ONLY depth
+    "rgp1_mlp": lambda prep, iters, lr, seed, M: _method_rgp(
+        prep, iters, lr, seed, M, [0, 10], back_cstr=True, mlp=(32,)
+    ),
     # Matern-5/2 GP-NARX (generic certain-input psi path; freerun plugs in
     # means only — no closed-form moment matching for Matern)
     "gp_narx_matern": lambda prep, iters, lr, seed, M: _method_gp_narx(

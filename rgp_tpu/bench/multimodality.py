@@ -90,8 +90,9 @@ def run(restarts: int, iters: int, lr: float, seed0: int, chunk: int,
     # per-restart state diagnostics
     lp = p["layers"][0]
     op = p["out"]
-    noise_h = np.asarray(positive(lp["log_noise"])).reshape(restarts, -1).mean(1)
-    noise_o = np.asarray(positive(op["log_noise"])).reshape(restarts, -1).mean(1)
+    # effective (floored) noise — what the bound/freerun actually see
+    noise_h = np.asarray(positive(lp["log_noise"])).reshape(restarts, -1).mean(1) + cfg.noise_floor
+    noise_o = np.asarray(positive(op["log_noise"])).reshape(restarts, -1).mean(1) + cfg.noise_floor
     qvar = np.exp(np.asarray(lp["log_lam"]))  # (R, T, D)
     qvar_mean = qvar.mean(axis=(1, 2))
     qvar_min = qvar.min(axis=(1, 2))

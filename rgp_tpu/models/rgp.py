@@ -77,6 +77,15 @@ class RGPConfig:
     back_cstr: bool = False
     mlp_hidden: Tuple[int, ...] = ()  # reference MLP_dims
     amortize_var: bool = False  # encoder also outputs q(X) log-variances
+    # additive lower bound on every layer's noise VARIANCE (0 disables).
+    # Measured necessity (round 4, BASELINE.md): on long f32 cosine schedules
+    # the REVARB noise channels collapse (the f32 beta^2 cancellation lets
+    # the bound keep climbing as beta -> inf), after which the closed-loop
+    # rollout breaks — tanks rgp1/rgp2 at 10k iters free-ran WORSE than at
+    # 2k, and config-1's multimodal RMSE spread traces to the same basin.
+    # The reference ecosystem's equivalent is paramz constrain_bounded on
+    # Gaussian noise [H]. Data is standardized, so 1e-4 = -40 dB.
+    noise_floor: float = 0.0
 
     @property
     def n_hidden(self) -> int:
@@ -95,6 +104,7 @@ def deep_rgp_config(
     back_cstr: bool = False,
     mlp_hidden: Tuple[int, ...] = (),
     amortize_var: bool = False,
+    noise_floor: float = 1e-4,
 ) -> RGPConfig:
     """Reference-API-shaped constructor (`DeepAutoreg(wins, Y, U=, U_win=, ...)`,
     SURVEY.md Appendix B): ``wins=[w_out, w_1, ..., w_H]`` with wins[0] the
@@ -135,6 +145,7 @@ def deep_rgp_config(
         back_cstr=back_cstr,
         mlp_hidden=tuple(mlp_hidden),
         amortize_var=amortize_var,
+        noise_floor=noise_floor,
     )
 
 
@@ -235,6 +246,18 @@ def init_params(
 # ----------------------------------------------------------------- ELBO
 
 
+def _fln(cfg: RGPConfig, log_noise):
+    """Effective (floored) unconstrained noise: softplus^{-1}(softplus(raw) +
+    noise_floor). Applied at EVERY consumption site (bound, whitening,
+    posterior, freerun, SMC) so training, evaluation and simulation all see
+    the identical floored model. No-op when cfg.noise_floor == 0."""
+    if cfg.noise_floor <= 0.0:
+        return log_noise
+    from ..params import positive
+
+    return jnp.log(jnp.expm1(positive(log_noise) + cfg.noise_floor))
+
+
 _LOG_LAM_BIAS = -4.605170185988091  # ln(0.01): amortized variances start ~ the
 # reference's 0.01 init when the encoder's raw output is near zero
 
@@ -321,7 +344,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
 
         stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block, prefer=psi_prefer)
         total = total + collapsed_bound(
-            spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, tgt_mu, tgt_lam,
+            spec.kernel, lp["kern"], lp["Z"], _fln(cfg, lp["log_noise"]), stats, tgt_mu, tgt_lam,
             W=None if whitening is None else whitening[h],
         )
         # entropy of q over targets + KL(init window || N(0,1))  (A.4)
@@ -337,7 +360,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
     Xo_s = current_window(lam_lower_t, cfg.out_win)
     stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block, prefer=psi_prefer)
     total = total + collapsed_bound(
-        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y,
+        cfg.out_kernel, op["kern"], op["Z"], _fln(cfg, op["log_noise"]), stats, Y,
         W=None if whitening is None else whitening[-1],
     )
     return total
@@ -368,7 +391,7 @@ def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 1
         stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
         Kmm = spec.kernel.K(lp["kern"], lp["Z"])
         out.append(
-            whitening_basis(Kmm, stats.psi2, 1.0 / _positive(lp["log_noise"]))
+            whitening_basis(Kmm, stats.psi2, 1.0 / _positive(_fln(cfg, lp["log_noise"])))
         )
         mu_lower_t, lam_lower_t = mus[h][L:], lams[h][L:]
     op = params["out"]
@@ -376,7 +399,7 @@ def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 1
     Xo_s = current_window(lam_lower_t, cfg.out_win)
     stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
     Kmm = cfg.out_kernel.K(op["kern"], op["Z"])
-    out.append(whitening_basis(Kmm, stats.psi2, 1.0 / _positive(op["log_noise"])))
+    out.append(whitening_basis(Kmm, stats.psi2, 1.0 / _positive(_fln(cfg, op["log_noise"]))))
     return tuple(out)
 
 
@@ -403,14 +426,14 @@ def _posteriors(cfg: RGPConfig, params, Y, U, *, block=None):
         X_mu, X_s = _layer_inputs(cfg, h, mu_full, lam_full, mu_lower_t, lam_lower_t, U)
         stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
         posts.append(
-            posterior(spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], stats, mu_full[L:])
+            posterior(spec.kernel, lp["kern"], lp["Z"], _fln(cfg, lp["log_noise"]), stats, mu_full[L:])
         )
         mu_lower_t, lam_lower_t = mu_full[L:], lam_full[L:]
     op = params["out"]
     Xo_mu = current_window(mu_lower_t, cfg.out_win)
     Xo_s = current_window(lam_lower_t, cfg.out_win)
     stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
-    posts.append(posterior(cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], stats, Y))
+    posts.append(posterior(cfg.out_kernel, op["kern"], op["Z"], _fln(cfg, op["log_noise"]), stats, Y))
     return posts, (mu_lower_t, lam_lower_t)
 
 
@@ -424,7 +447,7 @@ def predict_train(cfg: RGPConfig, params, Y, U, *, include_noise: bool = True):
     Xo_mu = current_window(mu_top, cfg.out_win)
     Xo_s = current_window(lam_top, cfg.out_win)
     return predict_uncertain(
-        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], posts[-1],
+        cfg.out_kernel, op["kern"], op["Z"], _fln(cfg, op["log_noise"]), posts[-1],
         Xo_mu, Xo_s, include_noise=include_noise,
     )
 
@@ -508,7 +531,7 @@ def freerun(
             x_mu = jnp.concatenate([own_mu, low_mu], axis=-1)
             x_s = jnp.concatenate([own_s, low_s], axis=-1)
             m, v = predict_uncertain(
-                spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], posts[h],
+                spec.kernel, lp["kern"], lp["Z"], _fln(cfg, lp["log_noise"]), posts[h],
                 x_mu, x_s if moment_match else None,
                 include_noise=True,  # process noise propagates into the state
             )
@@ -521,7 +544,7 @@ def freerun(
         top_mu = jnp.concatenate([new_mu[-1][None, :], bufs_mu[-1][: W - 1]], axis=0).reshape(1, -1) if W > 1 else new_mu[-1].reshape(1, -1)
         top_s = jnp.concatenate([new_s[-1][None, :], bufs_s[-1][: W - 1]], axis=0).reshape(1, -1) if W > 1 else new_s[-1].reshape(1, -1)
         ym, yv = predict_uncertain(
-            cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], posts[-1],
+            cfg.out_kernel, op["kern"], op["Z"], _fln(cfg, op["log_noise"]), posts[-1],
             top_mu, top_s if moment_match else None,
             include_noise=True,
         )

@@ -98,7 +98,7 @@ def make_ssm(
                 )
             x = jnp.concatenate([own, low], axis=-1)
             m, v = predict_uncertain(
-                spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], posts[h],
+                spec.kernel, lp["kern"], lp["Z"], rgp._fln(cfg, lp["log_noise"]), posts[h],
                 x, None, include_noise=True,
             )
             key, sub = jax.random.split(key)
@@ -123,7 +123,7 @@ def make_ssm(
             bufs = unpack(state)
             top = bufs[-1][:W].reshape(1, -1)
             m, v = predict_uncertain(
-                cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], posts[-1],
+                cfg.out_kernel, op["kern"], op["Z"], rgp._fln(cfg, op["log_noise"]), posts[-1],
                 top, None, include_noise=True,
             )
             return jnp.sum(

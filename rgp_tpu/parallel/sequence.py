@@ -172,7 +172,7 @@ def sequence_sharded_rgp_elbo(
             psi2 = jax.lax.psum(stats.psi2, axis)
             trYY = jax.lax.psum(jnp.sum(mu_t * mu_t) + jnp.sum(lam_t), axis)
             repl = repl + collapsed_bound_from_suffstats(
-                spec.kernel, lp["kern"], lp["Z"], lp["log_noise"],
+                spec.kernel, lp["kern"], lp["Z"], rgp_model._fln(cfg, lp["log_noise"]),
                 psi0_sum, psi1Y, psi2, trYY, T, spec.q_dim,
             )
             # entropy over this shard's targets (local) + KL of the replicated
@@ -196,7 +196,7 @@ def sequence_sharded_rgp_elbo(
         psi2 = jax.lax.psum(stats.psi2, axis)
         trYY = jax.lax.psum(jnp.sum(Y_loc * Y_loc), axis)
         repl = repl + collapsed_bound_from_suffstats(
-            cfg.out_kernel, op["kern"], op["Z"], op["log_noise"],
+            cfg.out_kernel, op["kern"], op["Z"], rgp_model._fln(cfg, op["log_noise"]),
             psi0_sum, psi1Y, psi2, trYY, T, cfg.y_dim,
         )
         return jax.lax.psum(local + repl / n_ax, axis)

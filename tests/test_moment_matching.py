@@ -83,12 +83,12 @@ def test_freerun_one_step_consistency(rng):
     x_mu = jnp.concatenate([own_mu, u0], axis=-1)
     x_s = jnp.concatenate([own_s, jnp.zeros_like(u0)], axis=-1)
     m1, v1 = predict_uncertain(
-        spec.kernel, lp["kern"], lp["Z"], lp["log_noise"], posts[0],
+        spec.kernel, lp["kern"], lp["Z"], rgp._fln(cfg, lp["log_noise"]), posts[0],
         x_mu, x_s, include_noise=True,
     )
     op = params["out"]
     ym, yv = predict_uncertain(
-        cfg.out_kernel, op["kern"], op["Z"], op["log_noise"], posts[-1],
+        cfg.out_kernel, op["kern"], op["Z"], rgp._fln(cfg, op["log_noise"]), posts[-1],
         m1, v1, include_noise=True,
     )
     # rtol 1e-6/1e-4 (was 1e-9): the whitened posterior's eigh is not
