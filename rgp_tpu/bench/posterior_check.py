@@ -60,7 +60,7 @@ def mode_fit(out: str, fit_iters: int) -> dict:
 
 def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
              max_depth: int, target_accept: float, group_size: int, seg: int,
-             seed: int) -> dict:
+             seed: int, noise_floor: float | None = None) -> dict:
     """The benchmarked configuration, retaining draws (positions)."""
     import jax
     import jax.numpy as jnp
@@ -69,7 +69,8 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
     from ..sample.nuts import nuts_draw, nuts_init, nuts_warmup
     from .sampling import _flagship
 
-    cfg, params, Y, U, _, _ = _flagship(0, jnp.float32, params_npz)
+    cfg, params, Y, U, _, _ = _flagship(0, jnp.float32, params_npz,
+                                        noise_floor=noise_floor)
     potential, flat0, _ = make_rgp_potential(
         cfg, params, Y, U, block=32, psi_prefer="scan", fixed_whitening=True
     )
@@ -92,42 +93,79 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
         lambda c, off: nuts_draw(potential, c, k_draw, 1,
                                  max_depth=max_depth, chain_offset=off)
     )
+    # compile both executables before timing
+    c0 = nuts_init(
+        flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+            jax.random.fold_in(k_init, 0), (wc, flat0.shape[0]), flat0.dtype
+        ),
+        n_chains=wc, mass_inv=mass_inv0,
+    )
+    c0 = warm(c0, 0)
+    _ = draw1(c0, 0)
+    float(_[0].zs[0, 0])
+
     t0 = time.perf_counter()
+    t_warm = 0.0
     all_draws = []  # per group: (wc, samples, dim)
     all_div = []
+    all_acc = []
+    eps_groups = []
     for g in range(n_groups):
         kg = jax.random.fold_in(k_init, g)
         z0 = flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
             kg, (wc, flat0.shape[0]), flat0.dtype
         )
+        tw = time.perf_counter()
         c = nuts_init(z0, n_chains=wc, mass_inv=mass_inv0)
         for _ in range(0, warmup, seg):
             c = warm(c, g * wc)
-        zs, divs = [], []
+        float(c.zs[0, 0])
+        t_warm += time.perf_counter() - tw
+        zs, divs, accs = [], [], []
         for _ in range(samples):
             c, r = draw1(c, g * wc)
             zs.append(np.asarray(r.samples))  # (wc, 1, dim)
             divs.append(np.asarray(r.diverging))
+            accs.append(np.asarray(r.accept_prob))
         all_draws.append(np.concatenate(zs, axis=1))
         all_div.append(np.concatenate(divs, axis=1))
+        all_acc.append(np.concatenate(accs, axis=1))
+        eps_groups.append(round(float(jnp.exp(c.da.log_eps_avg)), 6))
         print(f"group {g + 1}/{n_groups} done "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
     draws = np.concatenate(all_draws, axis=0)  # (chains, samples, dim)
     div = np.concatenate(all_div, axis=0)
+    acc = np.concatenate(all_acc, axis=0)
     wall = time.perf_counter() - t0
+    t_draw = wall - t_warm
     np.savez(out, draws=draws, diverging=div, wall_seconds=wall,
              max_depth=max_depth, target_accept=target_accept, warmup=warmup)
+
+    from ..sample.diagnostics import ess, split_rhat
+
+    r_pos = np.atleast_1d(split_rhat(draws))
+    e_pos = np.atleast_1d(ess(draws))
     return {
         "mode": "tpu", "out": out, "chains": chains, "samples": samples,
         "warmup": warmup, "wall_seconds": round(wall, 1),
+        "warmup_seconds": round(t_warm, 1),
+        "draw_seconds": round(t_draw, 1),
+        "samples_per_sec_draw_phase": round(chains * samples / t_draw, 2),
+        "warmup_chain_steps_per_sec": round(chains * warmup / t_warm, 2),
+        "independent_warmup_chains": chains,
+        "mean_accept": round(float(acc.mean()), 3),
         "divergence_rate": round(float(div.mean()), 4),
-        "samples_per_sec": round(draws.shape[0] * draws.shape[1] / wall, 2),
+        "step_size_per_group": eps_groups,
+        "max_rhat_positions": round(float(np.nanmax(r_pos)), 4),
+        "min_ess_positions": round(float(np.nanmin(e_pos)), 1),
+        "median_ess_positions": round(float(np.nanmedian(e_pos)), 1),
+        "target_accept": target_accept, "max_depth": max_depth,
     }
 
 
 def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
                  samples: int, max_depth: int, target_accept: float,
-                 seed: int) -> dict:
+                 seed: int, noise_floor: float | None = None) -> dict:
     """Exact f64 reference: fresh whitening every evaluation, scan psi (same
     math as dense, f64 accumulation), one jit — no watchdog on CPU."""
     import os
@@ -143,7 +181,8 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
     from ..sample.nuts import nuts_sample
     from .sampling import _flagship
 
-    cfg, params, Y, U, _, _ = _flagship(0, jnp.float64, params_npz)
+    cfg, params, Y, U, _, _ = _flagship(0, jnp.float64, params_npz,
+                                        noise_floor=noise_floor)
     potential, flat0, _ = make_rgp_potential(
         cfg, params, Y, U, block=64, psi_prefer="scan", fixed_whitening=False
     )
@@ -233,6 +272,9 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--target-accept", type=float, default=0.85)
     ap.add_argument("--seg", type=int, default=3)
+    ap.add_argument("--noise-floor", type=float, default=None,
+                    help="override RGPConfig.noise_floor (pass 0.0 to match a "
+                         "reference chain run on pre-floor code)")
     ap.add_argument("--fit-iters", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -242,11 +284,13 @@ def main(argv=None):
     elif args.mode == "tpu":
         out = mode_tpu(args.params, args.out or "/tmp/pc_tpu.npz", args.chains,
                        args.warmup, args.samples, args.max_depth,
-                       args.target_accept, args.group_size, args.seg, args.seed)
+                       args.target_accept, args.group_size, args.seg, args.seed,
+                       noise_floor=args.noise_floor)
     elif args.mode == "cpu-ref":
         out = mode_cpu_ref(args.params, args.out or "/tmp/pc_cpu.npz",
                            args.chains, args.warmup, args.samples,
-                           args.max_depth, args.target_accept, args.seed)
+                           args.max_depth, args.target_accept, args.seed,
+                           noise_floor=args.noise_floor)
     else:
         out = mode_compare(args.tpu, args.cpu)
     print(json.dumps(out))

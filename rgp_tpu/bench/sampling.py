@@ -50,7 +50,8 @@ import json
 import time
 
 
-def _flagship(fit_iters: int, dtype, params_npz: str | None = None):
+def _flagship(fit_iters: int, dtype, params_npz: str | None = None,
+              noise_floor: float | None = None):
     """Config-1 flagship: 1-layer RGP on actuator, briefly fitted so the
     potential's geometry (step sizes, tree depths) is the realistic one.
 
@@ -72,8 +73,9 @@ def _flagship(fit_iters: int, dtype, params_npz: str | None = None):
     U = jnp.asarray(su.transform(d.u_train), dtype)
     Ut = jnp.asarray(su.transform(d.u_test), dtype)
     Yt = jnp.asarray(sy.transform(d.y_test), dtype)
+    kw = {} if noise_floor is None else {"noise_floor": noise_floor}
     cfg = rgp.deep_rgp_config(wins=[0, 10], u_win=10, y_dim=1, u_dim=1,
-                              num_inducing=100)
+                              num_inducing=100, **kw)
     params = rgp.init_params(cfg, Y, U, dtype=dtype)
     if params_npz is not None:
         import numpy as np
