@@ -150,7 +150,9 @@ def _fit_restarts(cfg, Y, U, iters, lr, seeds, dtype):
     ok = jnp_.ones_like(elbos, dtype=bool)
     for h in range(len(cfg.layers)):
         lp = jax.tree.map(lambda a: a, params_b["layers"][h])
-        ok &= positive(lp["log_noise"]).reshape(-1) > 1e-4
+        # effective noise (the model floors at cfg.noise_floor since round 4):
+        # a collapsed channel sits AT the floor, a healthy one above it
+        ok &= (positive(lp["log_noise"]).reshape(-1) + cfg.noise_floor) > 1.5 * max(cfg.noise_floor, 1e-4)
         ok &= jnp_.exp(lp["log_lam"]).mean(axis=(1, 2)) > 1e-4
     # MAD outlier screen (round-1 verdict weak #5: the thresholds above let a
     # +2384-nat collapsed run win): a final ELBO far ABOVE its cohort's median

@@ -87,9 +87,16 @@ def run_all(round_no: int, quick: bool = False, only=None) -> list:
     out_path = _REPO / "artifacts" / f"bench_all_r{round_no}.jsonl"
     out_path.parent.mkdir(exist_ok=True)
     rows = []
+    first = True
     for name, argv, timeout in _entries(quick):
         if only and name not in only and not any(name.startswith(o) for o in only):
             continue
+        if not first:
+            # grant-release window: a TPU client launched within ~30 s of the
+            # previous client's exit frequently wedges permanently in claim
+            # negotiation (measured round 4; memory: axon-tpu-claim-behavior)
+            time.sleep(90)
+        first = False
         t0 = time.perf_counter()
         row = {"name": name, "argv": argv[1:], "quick": quick}
         try:

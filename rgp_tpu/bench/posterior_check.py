@@ -41,6 +41,20 @@ import time
 import numpy as np
 
 
+def _jit_scale(mass_inv, base: float = 0.1, cap: float = 0.5):
+    """Per-dim init-jitter std: base * sqrt(mass_inv), CAPPED at ``cap``.
+
+    The Hessian-diagonal mass clips |H| at 1e-4, so near-flat directions get
+    mass_inv up to 1e4 and an uncapped 0.1*sqrt(mass_inv) jitter flings
+    chains ~10 units from the anchor — into regions where the f32 potential
+    is NaN/inf, acceptance pins at ~0, and the shared dual averaging
+    death-spirals the step size to 0 (measured round 4: group 0 of the
+    256-chain run adapted eps = 0.0 exactly and froze, R-hat 6858)."""
+    import jax.numpy as jnp
+
+    return jnp.minimum(base * jnp.sqrt(mass_inv), cap)
+
+
 def _save_params(path: str, params) -> None:
     import jax
 
@@ -95,7 +109,7 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
     )
     # compile both executables before timing
     c0 = nuts_init(
-        flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+        flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
             jax.random.fold_in(k_init, 0), (wc, flat0.shape[0]), flat0.dtype
         ),
         n_chains=wc, mass_inv=mass_inv0,
@@ -112,7 +126,7 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
     eps_groups = []
     for g in range(n_groups):
         kg = jax.random.fold_in(k_init, g)
-        z0 = flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+        z0 = flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
             kg, (wc, flat0.shape[0]), flat0.dtype
         )
         tw = time.perf_counter()
@@ -190,7 +204,7 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
     key = jax.random.PRNGKey(seed + 1000)
     k_init, k_run = jax.random.split(key)
-    z0 = flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+    z0 = flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
         k_init, (chains, flat0.shape[0]), flat0.dtype
     )
     t0 = time.perf_counter()

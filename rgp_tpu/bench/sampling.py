@@ -154,9 +154,11 @@ def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
     Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
 
+    from .posterior_check import _jit_scale
+
     def group_z0(g):
         kg = jax.random.fold_in(k_init, g)
-        return flat0[None, :] + 0.1 * jnp.sqrt(mass_inv0)[None, :] * jax.random.normal(
+        return flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
             kg, (wc, flat0.shape[0]), flat0.dtype
         )
 

@@ -161,7 +161,10 @@ def sample_nuts(
         Hd = jnp.diag(jax.hessian(potential)(flat0))
         mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
         nuts_kw.setdefault("mass_inv0", mass_inv0)
-        scale = jnp.sqrt(mass_inv0)
+        # cap: near-flat directions have mass_inv up to 1e4; an uncapped
+        # jitter flings chains into NaN regions of the f32 potential and the
+        # shared dual averaging death-spirals (bench/posterior_check._jit_scale)
+        scale = jnp.minimum(jnp.sqrt(mass_inv0), 0.5 / max(jitter_init, 1e-6))
     z0 = flat0[None, :] + jitter_init * scale[None, :] * jax.random.normal(
         k_init, (n_chains, flat0.shape[0]), flat0.dtype
     )
