@@ -74,8 +74,15 @@ def mode_fit(out: str, fit_iters: int) -> dict:
 
 def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
              max_depth: int, target_accept: float, group_size: int, seg: int,
-             seed: int, noise_floor: float | None = None) -> dict:
-    """The benchmarked configuration, retaining draws (positions)."""
+             seed: int, noise_floor: float | None = None,
+             adapt_mass: bool = False) -> dict:
+    """The benchmarked configuration, retaining draws (positions).
+
+    ``adapt_mass`` defaults OFF: the MAP-Hessian diagonal mass is kept
+    through warmup — the pooled-Welford switch replaces it with between-chain
+    spread estimated from barely-warmed chains (measured round 4: the switch
+    multiplies mass_inv_max ~10x and the reset dual averaging has too few
+    steps left to recover)."""
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +108,7 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
         lambda c, off: nuts_warmup(
             potential, c, k_warm, seg, n_warmup=warmup, max_depth=max_depth,
             target_accept=target_accept, chain_offset=off,
+            adapt_mass=adapt_mass,
         )
     )
     draw1 = jax.jit(
@@ -284,7 +292,11 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=96)
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--max-depth", type=int, default=6)
-    ap.add_argument("--target-accept", type=float, default=0.85)
+    ap.add_argument("--target-accept", type=float, default=0.6,
+                    help="must sit BELOW the f32 potential's evaluation-noise "
+                         "acceptance ceiling (~0.72 measured on the flagship); "
+                         "higher targets death-spiral the dual averaging")
+    ap.add_argument("--adapt-mass", action="store_true")
     ap.add_argument("--seg", type=int, default=3)
     ap.add_argument("--noise-floor", type=float, default=None,
                     help="override RGPConfig.noise_floor (pass 0.0 to match a "
@@ -299,7 +311,7 @@ def main(argv=None):
         out = mode_tpu(args.params, args.out or "/tmp/pc_tpu.npz", args.chains,
                        args.warmup, args.samples, args.max_depth,
                        args.target_accept, args.group_size, args.seg, args.seed,
-                       noise_floor=args.noise_floor)
+                       noise_floor=args.noise_floor, adapt_mass=args.adapt_mass)
     elif args.mode == "cpu-ref":
         out = mode_cpu_ref(args.params, args.out or "/tmp/pc_cpu.npz",
                            args.chains, args.warmup, args.samples,

@@ -108,7 +108,7 @@ def _flagship(fit_iters: int, dtype, params_npz: str | None = None,
 
 def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
                fit_iters: int, seed: int = 0, group_size: int = 128,
-               block: int = 32, target_accept: float = 0.85, seg: int = 3,
+               block: int = 32, target_accept: float = 0.6, seg: int = 3,
                shared_warmup: bool = False, params_npz: str | None = None) -> dict:
     """Chains are processed in groups of ``group_size`` (``chains`` must be a
     multiple — asserted; ADVICE r3). Default protocol (VERDICT r3 #3): every
@@ -308,7 +308,9 @@ def main(argv=None):
                     help="total warmup steps (multiple of --seg)")
     ap.add_argument("--samples", "--draws", dest="samples", type=int, default=16)
     ap.add_argument("--max-depth", type=int, default=6)
-    ap.add_argument("--target-accept", type=float, default=0.85)
+    ap.add_argument("--target-accept", type=float, default=0.6,
+                    help="keep BELOW the f32 evaluation-noise acceptance "
+                         "ceiling (~0.72 on the flagship; BASELINE.md r4)")
     ap.add_argument("--seg", type=int, default=3,
                     help="warmup steps per device call (watchdog bound)")
     ap.add_argument("--shared-warmup", action="store_true",
