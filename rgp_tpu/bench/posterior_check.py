@@ -254,7 +254,20 @@ def mode_compare(tpu_npz: str, cpu_npz: str) -> dict:
     std_ratio = s_t / np.maximum(s_c, 1e-30)
     r_t = np.atleast_1d(split_rhat(d_t))
     r_c = np.atleast_1d(split_rhat(d_c))
+    # condition the moment check on REFERENCE quality: dims where the f64
+    # chain itself has not mixed (ess < 20 or rhat > 1.2) cannot arbitrate
+    # a discrepancy — report the well-mixed subset separately
+    ok = (e_c >= 20.0) & (r_c <= 1.2)
+    well = {
+        "n_dims": int(ok.sum()),
+        "moment_z_max": round(float(np.nanmax(z_scores[ok])), 3) if ok.any() else None,
+        "moment_z_median": round(float(np.nanmedian(z_scores[ok])), 3) if ok.any() else None,
+        "n_z_above_3": int(np.sum(z_scores[ok] > 3.0)) if ok.any() else None,
+        "std_ratio_range": [round(float(std_ratio[ok].min()), 3),
+                            round(float(std_ratio[ok].max()), 3)] if ok.any() else None,
+    }
     return {
+        "well_mixed_reference_dims": well,
         "mode": "compare",
         "dim": int(d_t.shape[-1]),
         "tpu": {"chains": int(d_t.shape[0]), "draws": int(d_t.shape[1]),

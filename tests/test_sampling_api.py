@@ -42,7 +42,7 @@ def test_sample_nuts_on_rgp():
     cfg, params, Y, U, _, _ = _trained_model_cached()
     res = api.sample_nuts(
         cfg, params, Y, U, jax.random.PRNGKey(0),
-        n_samples=40, n_warmup=120, n_chains=2, max_depth=5, step_size=0.02,
+        n_samples=20, n_warmup=60, n_chains=2, max_depth=5, step_size=0.02,
     )
     assert np.isfinite(np.asarray(res.samples)).all()
     assert np.asarray(res.accept_prob).mean() > 0.4
@@ -76,18 +76,19 @@ def test_fixed_whitening_potential_matches():
     relative at 0.05 perturbation), with a gradient field that stays aligned
     with the exact one."""
     cfg, params, Y, U, _, _ = _trained_model_cached()
-    pot_ref, flat0, _ = api.make_rgp_potential(cfg, params, Y, U)
-    pot_fix, _, _ = api.make_rgp_potential(
+    pot_ref_, flat0, _ = api.make_rgp_potential(cfg, params, Y, U)
+    pot_fix_, _, _ = api.make_rgp_potential(
         cfg, params, Y, U, fixed_whitening=True, psi_prefer="scan", block=8
     )
+    pot_ref, pot_fix = jax.jit(pot_ref_), jax.jit(pot_fix_)
     np.testing.assert_allclose(
         float(pot_fix(flat0)), float(pot_ref(flat0)), rtol=1e-9
     )
     v = flat0 + 0.05 * jax.random.normal(jax.random.PRNGKey(3), flat0.shape,
                                          flat0.dtype)
     np.testing.assert_allclose(float(pot_fix(v)), float(pot_ref(v)), rtol=1e-2)
-    g_ref = np.asarray(jax.grad(pot_ref)(v))
-    g_fix = np.asarray(jax.grad(pot_fix)(v))
+    g_ref = np.asarray(jax.jit(jax.grad(pot_ref_))(v))
+    g_fix = np.asarray(jax.jit(jax.grad(pot_fix_))(v))
     cos = float(g_ref @ g_fix / (np.linalg.norm(g_ref) * np.linalg.norm(g_fix)))
     assert cos > 0.99, cos
 
