@@ -243,8 +243,15 @@ def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float],
     # the whitened matrices are ~identity-conditioned (pivots >= ~1), so the
     # jitter stays at the dtype's resolution — a f32-sized 1e-4 here costs
     # ~0.5 nats via the trace term at beta ~ 100, and anything above ~1e-12
-    # in f64 shows up as ~1e-4 relative error under finite-difference checkgrad
-    j0 = 1e-12 if jnp.dtype(Kmm.dtype).itemsize >= 8 else 1e-6
+    # in f64 shows up as ~1e-4 relative error under finite-difference checkgrad.
+    # ``jitter`` overrides the base rung: MCMC potentials pass a LARGER value
+    # (e.g. 1e-3) so the first rung succeeds everywhere and the escalation
+    # ladder's discrete rung flips — ±hundreds-of-nats cliffs at infinitesimal
+    # parameter moves, measured as the config-5 divergence storm (BASELINE.md
+    # r4) — effectively never trigger inside a sampler's state space.
+    j0 = jitter if jitter is not None else (
+        1e-12 if jnp.dtype(Kmm.dtype).itemsize >= 8 else 1e-6
+    )
     Lk = jitchol(Kt, jitter0=j0)
     Lc = jitchol(Ct, jitter0=j0)
     # tr(Kmm^{-1} Psi2) = tr(Kt^{-1} At) / beta (kept subspace; pseudo-inverse

@@ -312,7 +312,8 @@ def _layer_inputs(cfg: RGPConfig, h: int, mu_full, lam_full, mu_lower_t, lam_low
 
 
 def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
-         whitening=None, psi_prefer: str = "auto"):
+         whitening=None, psi_prefer: str = "auto",
+         chol_jitter: Optional[float] = None):
     """REVARB evidence lower bound (Appendix A.4) — one pure scalar function.
 
     ``whitening``: optional tuple of H+1 precomputed (possibly stale)
@@ -324,6 +325,10 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
     — pass ``"scan"`` (with a small ``block``) when this ELBO is vmapped over
     many instances (e.g. 1024 NUTS chains), where the per-instance dense-psi2
     dispatch heuristic would blow up batched memory.
+
+    ``chol_jitter``: override the whitened-factorization base jitter — MCMC
+    potentials pass ~1e-3 so the jitchol escalation ladder's discrete rung
+    flips (±hundreds-of-nats cliffs) never trigger (see collapsed_vi._common).
     """
     Y = jnp.asarray(Y)
     U = jnp.asarray(U)
@@ -346,6 +351,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
         total = total + collapsed_bound(
             spec.kernel, lp["kern"], lp["Z"], _fln(cfg, lp["log_noise"]), stats, tgt_mu, tgt_lam,
             W=None if whitening is None else whitening[h],
+            jitter=chol_jitter,
         )
         # entropy of q over targets + KL(init window || N(0,1))  (A.4)
         total = total + 0.5 * jnp.sum(jnp.log(2.0 * jnp.pi * jnp.e * tgt_lam))
@@ -362,6 +368,7 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
     total = total + collapsed_bound(
         cfg.out_kernel, op["kern"], op["Z"], _fln(cfg, op["log_noise"]), stats, Y,
         W=None if whitening is None else whitening[-1],
+        jitter=chol_jitter,
     )
     return total
 

@@ -70,13 +70,23 @@ def merge_hypers(params, hyper):
 
 
 def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
-                       psi_prefer: str = "auto", fixed_whitening: bool = False):
+                       psi_prefer: str = "auto", fixed_whitening: bool = False,
+                       chol_jitter: Optional[float] = 1e-3):
     """-> (potential_fn over flat unconstrained vector, initial vector, unravel).
 
     ``psi_prefer="scan"`` + small ``block``: REQUIRED when the potential will
     be vmapped over many chains (the dense-psi2 dispatch would materialize a
     (chains, T, M, M) intermediate; measured: the remote compiler dies at
     1024 chains on v5e).
+
+    ``chol_jitter`` (default 1e-3): base jitter of the whitened Cholesky
+    factorizations inside the potential — large enough that the jitchol
+    escalation ladder's FIRST rung succeeds across the sampled region, so the
+    ladder's discrete rung flips (±hundreds-of-nats cliffs at infinitesimal
+    moves; measured as the config-5 divergence storm + dual-averaging death
+    spiral, BASELINE.md r4) never trigger. Costs a uniform ~O(0.1-1 nat)
+    shift of the surrogate ELBO — the potential stays a smooth, consistent
+    surrogate. Pass None for the training-time dtype-resolved default.
 
     ``fixed_whitening``: close over the spectral-whitening bases computed ONCE
     at the anchor ``params`` instead of running a fresh ``eigh`` per layer per
@@ -101,7 +111,7 @@ def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
     def potential(v):
         p = merge_hypers(params, unravel(v))
         lp = rgp.elbo(cfg, p, Y, U, block=block, psi_prefer=psi_prefer,
-                      whitening=wh)
+                      whitening=wh, chol_jitter=chol_jitter)
         log_prior = -0.5 * jnp.sum((v / prior_std) ** 2)
         return -(lp + log_prior)
 

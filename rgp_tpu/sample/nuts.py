@@ -428,7 +428,13 @@ def nuts_warmup(
     n_chains = carry.zs.shape[0]
 
     def _mean_over_chains(x):
-        m = jnp.mean(x)
+        # MEDIAN across chains (mean across devices of per-device medians
+        # when sharded): robust to zero-accept "sink" chains — a chain stuck
+        # where the f32 potential is divergent reports accept ~0 FOREVER, and
+        # with mean pooling a >15% sink fraction caps the pooled statistic
+        # below any reasonable target, death-spiraling the shared step size
+        # (measured, BASELINE.md r4); the median ignores sinks up to 50%
+        m = jnp.median(x)
         if chain_axis is not None:
             m = lax.pmean(m, chain_axis)
         return m
