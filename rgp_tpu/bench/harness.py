@@ -180,8 +180,11 @@ def _method_narx_collapsed_full(prep: _Prepared, iters: int, lr: float,
 
     y_win, u_win = 10, 5
     X, Yt = narx_design(prep.Y, prep.U, y_win, u_win)
+    # noise_floor=0 on the config: this method applies its own explicit floor
+    # in the loss AND bakes the floored value into the freerun params — the
+    # config-level floor (round-4 NARXConfig default) would double it
     cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=X.shape[1]), num_inducing=M,
-                             y_win=y_win, u_win=u_win)
+                             y_win=y_win, u_win=u_win, noise_floor=0.0)
     from ..models import sparse_gp
     from ..ops.psi_stats import psi_statistics
     from ..params import positive

@@ -31,6 +31,12 @@ class NARXConfig:
     num_inducing: int
     y_win: int
     u_win: int
+    # additive lower bound on the noise variance (0 disables) — same measured
+    # f32 pathology and fix as RGPConfig.noise_floor: long cosine schedules
+    # collapse the noise and the beta^2 rounding then corrupts the bound
+    # (config-3 at 2000 iters recorded elbo ~2.4e11 and freerun 1.84 vs the
+    # floored 0.12-0.25 optima; BASELINE.md r4)
+    noise_floor: float = 1e-4
 
     @property
     def sparse(self) -> sparse_gp.SparseGPConfig:
@@ -43,8 +49,17 @@ def init_params(cfg: NARXConfig, Y, U=None, noise: float = 0.1, seed: int = 0,
     return sparse_gp.init_params(cfg.sparse, X, noise=noise, seed=seed, dtype=dtype, **kern_kw)
 
 
+def _fln(cfg: NARXConfig, log_noise):
+    if cfg.noise_floor <= 0.0:
+        return log_noise
+    from ..params import positive
+
+    return jnp.log(jnp.expm1(positive(log_noise) + cfg.noise_floor))
+
+
 def elbo(cfg: NARXConfig, params, Y, U=None, *, block=None):
     X, Yt = narx_design(Y, U, cfg.y_win, cfg.u_win)
+    params = {**params, "log_noise": _fln(cfg, params["log_noise"])}
     return sparse_gp.elbo(cfg.sparse, params, X, Yt, block=block)
 
 
@@ -70,12 +85,13 @@ def freerun(
     window. Returns (means (T*, Dy), vars (T*, Dy)).
     """
     X, Yt = narx_design(Y_train, U_train, cfg.y_win, cfg.u_win)
+    ln_eff = _fln(cfg, params["log_noise"])
     stats = psi_statistics(cfg.kernel, params["kern"], params["Z"], X, None, block=None)
     post = posterior(
-        cfg.kernel, params["kern"], params["Z"], params["log_noise"], stats, Yt,
+        cfg.kernel, params["kern"], params["Z"], ln_eff, stats, Yt,
         certain=True,
     )
-    kern, kp, Z, ln = cfg.kernel, params["kern"], params["Z"], params["log_noise"]
+    kern, kp, Z, ln = cfg.kernel, params["kern"], params["Z"], ln_eff
     Dy = Y_train.shape[1]
     Ly, Lu = cfg.y_win, cfg.u_win
 
