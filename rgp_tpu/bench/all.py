@@ -46,9 +46,22 @@ def _entries(quick: bool):
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "drives",
           "--method", "rgp2_mlp", "--iters", it, "--restarts", "1" if quick else "3"],
          7200),
+        # config-3 protocol (BASELINE.json:9 / round-1 row): M=50, ~1k iters.
+        # Measured r4 sensitivity sweep: RBF-NARX free-runs at 0.074 in this
+        # config but falls into a 0.33-0.58 rollout basin at M=100 or 4k
+        # iters (moment-matched closed loop amplifies overfit lengthscales),
+        # while Matern52 is robust (0.061-0.063) at every setting
         ("config3_gp_narx_actuator",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "actuator",
-          "--method", "gp_narx", "--iters", "300" if quick else "2000"], 3600),
+          "--method", "gp_narx", "--iters", "1000", "--num-inducing", "50"],
+         3600),
+        ("config3_gp_narx_matern_actuator",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "actuator",
+          "--method", "gp_narx_matern", "--iters", "1000",
+          "--num-inducing", "50"], 3600),
+        ("config4_collapsed_long_corpus",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "gp_narx_collapsed", "--iters", it4, "--steady"], 7200),
         ("config4_narx_minibatch_long_corpus",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
           "--method", "gp_narx_minibatch", "--iters", it4], 7200),
