@@ -66,7 +66,11 @@ def test_collapsed_bound_vs_cpp(oracle, rng):
     Kmm = np.asarray(kern.K(p, Z))
     jitter = 1e-6 * np.mean(np.diag(Kmm))
 
-    ours = float(collapsed_bound(kern, p, Z, log_noise, st, Y, Yv, jitter=1e-6))
+    # no jitter override: since round 4 the ``jitter`` arg is live (it sets
+    # the whitened base Cholesky rung for smooth MCMC potentials); the
+    # production training bound uses the dtype default (1e-12 in f64), which
+    # is what the oracle's formulation matches at rtol 1e-9
+    ours = float(collapsed_bound(kern, p, Z, log_noise, st, Y, Yv))
     # independent C++ implementation of the SAME whitened formulation (its own
     # Jacobi eigensolver, no LAPACK) — exact cross-check of the production math
     cpp_w = oracle.collapsed_bound_whitened(
