@@ -59,12 +59,37 @@ def _entries(quick: bool):
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "actuator",
           "--method", "gp_narx_matern", "--iters", "1000",
           "--num-inducing", "50"], 3600),
+        # same-code drives cross-checks (VERDICT r4 next #3): the config-2
+        # depth claim must compare against CURRENT-code 1-layer and windowed
+        # baselines, not round-1 numbers measured before the noise floor
+        ("config2_rgp1_drives",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "drives",
+          "--method", "rgp1", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
+        ("config2_gp_narx_drives",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "drives",
+          "--method", "gp_narx", "--iters", it, "--restarts", "1" if quick else "3"],
+         7200),
         ("config4_collapsed_long_corpus",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
           "--method", "gp_narx_collapsed", "--iters", it4, "--steady"], 7200),
+        # config-4 minibatch batch-size sensitivity (VERDICT r4 next #2b):
+        # one coherent same-code table of it/s + freerun + final noise per B
         ("config4_narx_minibatch_long_corpus",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
-          "--method", "gp_narx_minibatch", "--iters", it4], 7200),
+          "--method", "gp_narx_minibatch", "--iters", it4, "--steady"], 7200),
+        ("config4_narx_minibatch_B256",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "gp_narx_minibatch", "--iters", it4,
+          "--batch-size", "256"], 7200),
+        ("config4_narx_minibatch_B1024",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "gp_narx_minibatch", "--iters", it4,
+          "--batch-size", "1024"], 7200),
+        ("config4_narx_minibatch_B2048",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "gp_narx_minibatch", "--iters", it4,
+          "--batch-size", "2048"], 7200),
         ("config4_svgp_natgrad_long_corpus",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
           "--method", "svgp_natgrad", "--iters", it4], 7200),
@@ -93,6 +118,15 @@ def _entries(quick: bool):
         ("depth_tanks_gp_narx",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
           "--method", "gp_narx", "--iters", "300" if quick else "2000"], 3600),
+    ] + [
+        # dormant-task certification sweep (VERDICT r4 next #9): the four
+        # registry tasks no BASELINE row ever exercised, each with the
+        # windowed baseline and the 1-layer RGP at a modest budget
+        (f"tasks_{t}_{m}",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", t,
+          "--method", m, "--iters", "300" if quick else "2000"], 3600)
+        for t in ("ballbeam", "dryer", "gas_furnace", "narendra")
+        for m in ("gp_narx", "rgp1")
     ]
 
 
@@ -111,7 +145,17 @@ def run_all(round_no: int, quick: bool = False, only=None) -> list:
             time.sleep(90)
         first = False
         t0 = time.perf_counter()
-        row = {"name": name, "argv": argv[1:], "quick": quick}
+        # row provenance (VERDICT r4 next #4): the jsonl accumulates across
+        # code states, so every row must identify the code that produced it
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+                text=True, timeout=10, cwd=str(_REPO),
+            ).stdout.strip() or "unknown"
+        except Exception:
+            sha = "unknown"
+        row = {"name": name, "argv": argv[1:], "quick": quick,
+               "git_sha": sha, "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
         try:
             r = subprocess.run(argv, capture_output=True, timeout=timeout,
                                cwd=str(_REPO), env=os.environ.copy())

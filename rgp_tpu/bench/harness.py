@@ -64,21 +64,71 @@ def _prepare(task: str, dtype=jnp.float32, **task_kw) -> _Prepared:
 
 
 # ------------------------------------------------------------------ methods
+#
+# Every method returns (res, test_means, test_vars, val_fn) where val_fn() is
+# a CHEAP closed-loop rollout over the last ``_val_horizon`` steps of the
+# TRAINING split (standardized scale) — the rollout-aware restart score
+# (VERDICT r4 next #6): the teacher-forced ELBO cannot see rollout
+# inconsistency (measured: on tanks at 10k iters best-of-N by ELBO selects
+# free-form optima that roll out at the zero predictor while their 2k-iter
+# models score 2x better), so ``run(select="rollout")`` vetoes restarts by a
+# held-back-tail simulation instead.
+
+
+def _val_horizon(T: int) -> int:
+    return min(128, T // 4)
+
+
+def _std_rmse(m, target) -> float:
+    return float(jnp.sqrt(jnp.mean((m - target) ** 2)))
 
 
 def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int,
-                    kernel_cls=RBF, moment_match: bool = True):
+                    kernel_cls=RBF, moment_match: bool = True,
+                    ls_prior_std: float | None = None):
+    """``ls_prior_std``: optional mild N(0, std^2) prior on log-lengthscales —
+    the config-3 RBF rollout-basin lever (VERDICT r4 next #5): at M=100/4k
+    iters the unregularized RBF fit shrinks lengthscales into a basin whose
+    moment-matched closed loop amplifies the overfit; a wide log-prior keeps
+    them O(1) without moving the well-behaved optima."""
     cfg = gp_narx.NARXConfig(kernel=kernel_cls(input_dim=15), num_inducing=M, y_win=10, u_win=5)
     params = gp_narx.init_params(cfg, prep.Y, prep.U, noise=0.1, seed=seed)
     import optax
 
+    def loss(p):
+        f = -gp_narx.elbo(cfg, p, prep.Y, prep.U)
+        if ls_prior_std is not None:
+            f = f + 0.5 * jnp.sum((p["kern"]["log_ls"] / ls_prior_std) ** 2)
+        return f
+
     res = train.fit_adam(
-        lambda p: -gp_narx.elbo(cfg, p, prep.Y, prep.U), params,
+        loss, params,
         iters=iters, optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
     )
     m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test,
                            y_init=prep.Y[-10:], moment_match=moment_match)
-    return res, m, v
+
+    def val_fn():
+        T = prep.Y.shape[0]
+        K = _val_horizon(T)
+        mv, _ = gp_narx.freerun(
+            cfg, res.params, prep.Y[: T - K], prep.U[: T - K], prep.U[T - K:],
+            y_init=prep.Y[T - K - cfg.y_win: T - K], moment_match=moment_match,
+        )
+        return _std_rmse(mv, prep.Y[T - K:])
+
+    return res, m, v, val_fn
+
+
+def _truncate_rgp_params(params, K: int):
+    """Drop the last ``K`` steps of every per-layer q(X) sequence so
+    ``rgp.freerun`` rolls out from time T-K of the training span."""
+    p = dict(params)
+    p["layers"] = [
+        {k: (v[:-K] if k in ("mu", "log_lam") else v) for k, v in lp.items()}
+        for lp in params["layers"]
+    ]
+    return p
 
 
 def _method_rgp(prep, iters, lr, seed, M, wins, back_cstr=False, mlp=()):
@@ -94,7 +144,19 @@ def _method_rgp(prep, iters, lr, seed, M, wins, back_cstr=False, mlp=()):
         iters=iters, optimizer=optax.adam(optax.cosine_decay_schedule(lr, iters, 0.01)),
     )
     m, v = rgp.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test)
-    return res, m, v
+
+    def val_fn():
+        T = prep.Y.shape[0]
+        K = _val_horizon(T)
+        # slice the free q(X) sequences to T-K; with back-constraints the
+        # encoder re-derives means from the sliced Y/U automatically, and the
+        # free log_lam sequence still needs the slice to stay aligned
+        pv = _truncate_rgp_params(res.params, K)
+        mv, _ = rgp.freerun(cfg, pv, prep.Y[: T - K], prep.U[: T - K],
+                            prep.U[T - K:])
+        return _std_rmse(mv, prep.Y[T - K:])
+
+    return res, m, v, val_fn
 
 
 def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: int,
@@ -147,7 +209,16 @@ def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: i
     m, v = svgp.freerun_narx(
         cfg, res.params, y_win, u_win, prep.Y, prep.U, prep.U_test
     )
-    return res, m, v
+
+    def val_fn():
+        T = prep.Y.shape[0]
+        K = _val_horizon(T)
+        mv, _ = svgp.freerun_narx(cfg, res.params, y_win, u_win,
+                                  prep.Y[: T - K], prep.U[: T - K],
+                                  prep.U[T - K:])
+        return _std_rmse(mv, prep.Y[T - K:])
+
+    return res, m, v, val_fn
 
 
 def _method_narx_collapsed_full(prep: _Prepared, iters: int, lr: float,
@@ -212,11 +283,21 @@ def _method_narx_collapsed_full(prep: _Prepared, iters: int, lr: float,
     p["log_noise"] = floored_log_noise(res.params)  # freerun sees the same model
     m, v = gp_narx.freerun(cfg, p, prep.Y, prep.U, prep.U_test,
                            y_init=prep.Y[-y_win:])
-    return res, m, v
+
+    def val_fn():
+        T = prep.Y.shape[0]
+        K = _val_horizon(T)
+        mv, _ = gp_narx.freerun(cfg, p, prep.Y[: T - K], prep.U[: T - K],
+                                prep.U[T - K:],
+                                y_init=prep.Y[T - K - y_win: T - K])
+        return _std_rmse(mv, prep.Y[T - K:])
+
+    return res, m, v, val_fn
 
 
 def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
-                           M: int, batch_size: int = 512):
+                           M: int, batch_size: int = 512,
+                           noise_floor: float = 1e-4):
     """Config 4, collapsed route (VERDICT r3 #1): minibatch the COLLAPSED
     GP-NARX bound through its additive sufficient statistics. Each step
     computes the batch's psi statistics and scales them by T/B — an unbiased
@@ -233,7 +314,16 @@ def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
     the measured cost on long_corpus is ~nil (BASELINE.md config-4 row).
 
     Scoring: the returned freerun uses the EXACT full-data collapsed posterior
-    at the learned hyperparameters (gp_narx.freerun recomputes it once)."""
+    at the learned hyperparameters (gp_narx.freerun recomputes it once).
+
+    Round-5 fix (ADVICE r4 medium): the minibatch loss now applies the SAME
+    explicit noise floor as ``_method_narx_collapsed_full`` and bakes the
+    floored value into the scored params — round 4 trained on raw un-floored
+    log_noise while the freerun evaluated the floored model (train/eval
+    mismatch), and the stochastic bound's measured noise-collapse pathology
+    (log|B| concave in the statistics under-counts the complexity penalty)
+    ran unguarded, recording a blown elbo_last 4.27e8 next to a decent
+    freerun."""
     import jax
     import optax
 
@@ -241,11 +331,14 @@ def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
     from ..inference.collapsed_vi import collapsed_bound_from_suffstats
     from ..linalg import hdot
     from ..ops.psi_stats import psi01
+    from ..params import positive
 
     y_win, u_win = 10, 5
     X, Yt = narx_design(prep.Y, prep.U, y_win, u_win)
+    # noise_floor=0 on the config: the floor is applied explicitly in-loss and
+    # baked into the scored params (the config-level default would double it)
     cfg = gp_narx.NARXConfig(kernel=RBF(input_dim=X.shape[1]), num_inducing=M,
-                             y_win=y_win, u_win=u_win)
+                             y_win=y_win, u_win=u_win, noise_floor=0.0)
     from ..models import sparse_gp
 
     params = sparse_gp.init_params(cfg.sparse, X, noise=0.1, seed=seed)
@@ -254,12 +347,15 @@ def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
     w = T_total / bs
     kern = cfg.kernel
 
+    def floored_log_noise(p):
+        return jnp.log(jnp.expm1(positive(p["log_noise"]) + noise_floor))
+
     def loss(p, batch):
         psi0_b, psi1_b = psi01(kern, p["kern"], p["Z"], batch["X"], None)
         # certain inputs: Psi2 == Psi1^T Psi1, so the scaled statistic keeps
         # its PSD factor sqrt(w) Psi1 (the f32-accurate assembly path)
         return -collapsed_bound_from_suffstats(
-            kern, p["kern"], p["Z"], p["log_noise"],
+            kern, p["kern"], p["Z"], floored_log_noise(p),
             w * jnp.sum(psi0_b),
             w * hdot(psi1_b.T, batch["Y"]),
             None,
@@ -276,39 +372,83 @@ def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
             optax.adam(optax.cosine_decay_schedule(lr, min(iters, 10000), 0.01)),
         ),
     )
-    m, v = gp_narx.freerun(cfg, res.params, prep.Y, prep.U, prep.U_test,
+    p = dict(res.params)
+    p["log_noise"] = floored_log_noise(res.params)  # freerun sees the same model
+    m, v = gp_narx.freerun(cfg, p, prep.Y, prep.U, prep.U_test,
                            y_init=prep.Y[-y_win:])
-    return res, m, v
+
+    def val_fn():
+        T = prep.Y.shape[0]
+        K = _val_horizon(T)
+        mv, _ = gp_narx.freerun(cfg, p, prep.Y[: T - K], prep.U[: T - K],
+                                prep.U[T - K:],
+                                y_init=prep.Y[T - K - y_win: T - K])
+        return _std_rmse(mv, prep.Y[T - K:])
+
+    return res, m, v, val_fn
 
 
 METHODS: Dict[str, Callable] = {
-    "svgp_natgrad": lambda prep, iters, lr, seed, M: _method_svgp_natgrad(
+    # **kw carries optional per-run knobs (batch_size for the config-4
+    # minibatch routes, ls_prior_std for the config-3 regularized variant) —
+    # forwarded from run()'s method_kw, ignored by methods that lack them
+    "svgp_natgrad": lambda prep, iters, lr, seed, M, **kw: _method_svgp_natgrad(
+        prep, iters, lr, seed, M, **kw
+    ),
+    "gp_narx_minibatch": lambda prep, iters, lr, seed, M, **kw: _method_narx_minibatch(
+        prep, iters, lr, seed, M, **kw
+    ),
+    "gp_narx_collapsed": lambda prep, iters, lr, seed, M, **kw: _method_narx_collapsed_full(
         prep, iters, lr, seed, M
     ),
-    "gp_narx_minibatch": lambda prep, iters, lr, seed, M: _method_narx_minibatch(
-        prep, iters, lr, seed, M
+    "gp_narx": lambda prep, iters, lr, seed, M, **kw: _method_gp_narx(
+        prep, iters, lr, seed, M, **kw
     ),
-    "gp_narx_collapsed": lambda prep, iters, lr, seed, M: _method_narx_collapsed_full(
-        prep, iters, lr, seed, M
-    ),
-    "gp_narx": lambda prep, iters, lr, seed, M: _method_gp_narx(prep, iters, lr, seed, M),
-    "rgp1": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 10]),
-    "rgp2": lambda prep, iters, lr, seed, M: _method_rgp(prep, iters, lr, seed, M, [0, 6, 6]),
-    "rgp2_mlp": lambda prep, iters, lr, seed, M: _method_rgp(
+    "rgp1": lambda prep, iters, lr, seed, M, **kw: _method_rgp(prep, iters, lr, seed, M, [0, 10]),
+    "rgp2": lambda prep, iters, lr, seed, M, **kw: _method_rgp(prep, iters, lr, seed, M, [0, 6, 6]),
+    "rgp2_mlp": lambda prep, iters, lr, seed, M, **kw: _method_rgp(
         prep, iters, lr, seed, M, [0, 6, 6], back_cstr=True, mlp=(32,)
     ),
     # 1-layer back-constrained control for the depth table: holds the
     # amortization (which is what keeps long-schedule rollouts healthy —
     # BASELINE.md round-4 depth study) fixed while varying ONLY depth
-    "rgp1_mlp": lambda prep, iters, lr, seed, M: _method_rgp(
+    "rgp1_mlp": lambda prep, iters, lr, seed, M, **kw: _method_rgp(
         prep, iters, lr, seed, M, [0, 10], back_cstr=True, mlp=(32,)
     ),
     # Matern-5/2 GP-NARX (generic certain-input psi path; freerun plugs in
     # means only — no closed-form moment matching for Matern)
-    "gp_narx_matern": lambda prep, iters, lr, seed, M: _method_gp_narx(
+    "gp_narx_matern": lambda prep, iters, lr, seed, M, **kw: _method_gp_narx(
         prep, iters, lr, seed, M, kernel_cls=_matern52, moment_match=False
     ),
 }
+
+
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10, cwd=__file__.rsplit("/rgp_tpu/", 1)[0],
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _final_noise_min(params) -> float | None:
+    """Min effective raw noise variance over every *log_noise leaf (the
+    degeneracy probe: a raw value collapsed to ~0 means the optimizer pinned
+    the model at whatever floor the method applies)."""
+    import jax.tree_util as jtu
+
+    from ..params import positive
+
+    vals = [
+        float(positive(leaf))
+        for path, leaf in jtu.tree_flatten_with_path(params)[0]
+        if "log_noise" in jtu.keystr(path)
+    ]
+    return min(vals) if vals else None
 
 
 def run(
@@ -322,27 +462,43 @@ def run(
     restarts: int = 1,
     dtype=jnp.float32,
     steady: bool = False,
+    select: str = "elbo",
+    **method_kw,
 ) -> dict:
-    """``restarts > 1`` runs multiple seeds and keeps the best final ELBO —
-    the standard stabilizer for the multimodal REVARB objective.
+    """``restarts > 1`` runs multiple seeds and keeps the best restart.
+
+    ``select``: restart-selection criterion — "elbo" (final training bound;
+    the reference-ecosystem convention) or "rollout" (short closed-loop
+    free-simulation RMSE on the tail of the TRAINING split, VERDICT r4 next
+    #6: the bound cannot see rollout inconsistency, so on long schedules
+    best-ELBO selects free-form optima that roll out at the zero predictor).
+    Both scores are recorded per restart either way.
 
     ``steady``: run the method once untimed (claims the device, fills the
     persistent compile cache), then time a second identical run — the same
     steady-state protocol bench.py uses for the config-1 headline ("compile
     excluded"). Without it, wall time on this backend is dominated by the
     one-time device claim (~25-60 s) and scan compiles, not by training."""
+    assert select in ("elbo", "rollout")
     prep = _prepare(task, dtype=dtype)
     if steady:
-        out = METHODS[method](prep, iters, lr, seed, num_inducing)
+        out = METHODS[method](prep, iters, lr, seed, num_inducing, **method_kw)
         float(out[0].losses[-1])  # host-read barrier before restarting the clock
     t0 = time.perf_counter()
-    best = None
+    best, table = None, []
     for r in range(restarts):
-        out = METHODS[method](prep, iters, lr, seed + r, num_inducing)
+        out = METHODS[method](prep, iters, lr, seed + r, num_inducing,
+                              **method_kw)
         final_elbo = -float(out[0].losses[-1])
-        if best is None or final_elbo > best[0]:
-            best = (final_elbo, out)
-    res, means, vars_ = best[1]
+        val_rmse = float(out[3]()) if (select == "rollout" or restarts > 1) \
+            else None
+        score = val_rmse if select == "rollout" else -final_elbo
+        table.append({"seed": seed + r, "elbo": round(final_elbo, 2),
+                      "val_rollout_rmse":
+                      round(val_rmse, 5) if val_rmse is not None else None})
+        if best is None or score < best[0]:
+            best = (score, out)
+    res, means, vars_, _ = best[1]
     # host-read sync (block_until_ready returns early on the tunneled backend)
     float(np.asarray(means[0, 0]))
     wall = time.perf_counter() - t0
@@ -350,6 +506,22 @@ def run(
     rmse = float(np.sqrt(np.mean((m_raw - prep.y_test_raw) ** 2)))
     zero = float(np.sqrt(np.mean(prep.y_test_raw**2)))
     losses = np.asarray(res.losses)
+    elbo_last = float(-losses[-1])
+
+    # degeneracy flags (VERDICT r4 next #4): machine-readable insanity markers
+    # so blown runs can never sit in the record schema-indistinguishable from
+    # healthy ones. ELBO ceiling: standardized data under a >=1e-4 noise floor
+    # caps the per-point log-density at ~3.8 nats; 10*T*D is generously sane.
+    T_D = float(np.prod(prep.Y.shape))
+    noise_min = _final_noise_min(res.params)
+    reasons = []
+    if not np.isfinite(elbo_last) or elbo_last > 10.0 * T_D:
+        reasons.append("elbo_insane")
+    if rmse >= zero:
+        reasons.append("freerun_not_better_than_zero")
+    if noise_min is not None and noise_min < 1e-5:
+        reasons.append("noise_collapsed_to_floor")
+
     return {
         "task": task,
         "method": method,
@@ -357,12 +529,20 @@ def run(
         "freerun_rmse": round(rmse, 5),
         "zero_predictor_rmse": round(zero, 5),
         "elbo_first": round(float(-losses[0]), 2),
-        "elbo_last": round(float(-losses[-1]), 2),
+        "elbo_last": round(elbo_last, 2),
         "wall_seconds": round(wall, 2),
         "iters_per_sec": round(iters / wall, 2),
         "restarts": restarts,
+        "select": select,
+        "restart_table": table,
         "steady": steady,
         "backend": jax.default_backend(),
+        "git_sha": _git_sha(),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "final_noise_min": None if noise_min is None else float(f"{noise_min:.3g}"),
+        "degenerate": bool(reasons),
+        "degenerate_reasons": reasons,
+        **({"method_kw": method_kw} if method_kw else {}),
     }
 
 
@@ -386,11 +566,23 @@ def main(argv=None):
     ap.add_argument("--steady", action="store_true",
                     help="time a second warm run (claim+compiles excluded), "
                          "the bench.py steady-state protocol")
+    ap.add_argument("--select", default="elbo", choices=("elbo", "rollout"),
+                    help="restart selection: final training bound, or "
+                         "closed-loop rollout RMSE on the training tail")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="minibatch size for the config-4 methods")
+    ap.add_argument("--ls-prior-std", type=float, default=None,
+                    help="mild N(0,std^2) prior on log-lengthscales (gp_narx)")
     args = ap.parse_args(argv)
+    kw = {}
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    if args.ls_prior_std is not None:
+        kw["ls_prior_std"] = args.ls_prior_std
     out = run(
         args.task, args.method, iters=args.iters, lr=args.lr, seed=args.seed,
         num_inducing=args.num_inducing, restarts=args.restarts,
-        steady=args.steady,
+        steady=args.steady, select=args.select, **kw,
     )
     print(json.dumps(out))
 

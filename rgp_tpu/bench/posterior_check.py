@@ -185,11 +185,58 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
     }
 
 
+def _save_carry(path: str, carry, draws, divs, wall: float, meta: dict) -> None:
+    import jax
+
+    leaves = jax.tree.leaves(carry)
+    np.savez(path, n_carry=len(leaves),
+             **{f"c{i}": np.asarray(x) for i, x in enumerate(leaves)},
+             draws=draws, diverging=divs, wall_seconds=wall,
+             **{k: v for k, v in meta.items()})
+
+
+def _load_carry(path: str, carry_template):
+    import jax
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        n = int(z["n_carry"])
+        tmpl_leaves = jax.tree.leaves(carry_template)
+        leaves = [jnp.asarray(z[f"c{i}"], tmpl_leaves[i].dtype)
+                  for i in range(n)]
+        carry = jax.tree.unflatten(jax.tree.structure(carry_template), leaves)
+        return carry, z["draws"], z["diverging"], float(z["wall_seconds"])
+
+
 def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
                  samples: int, max_depth: int, target_accept: float,
-                 seed: int, noise_floor: float | None = None) -> dict:
+                 seed: int, noise_floor: float | None = None,
+                 mass_from: str | None = None, init_from: str | None = None,
+                 seg: int = 8, draw_seg: int = 4) -> dict:
     """Exact f64 reference: fresh whitening every evaluation, scan psi (same
-    math as dense, f64 accumulation), one jit — no watchdog on CPU."""
+    math as dense, f64 accumulation), no watchdog on CPU.
+
+    Round-5 rework (VERDICT r4 missing #1 / next #1) — the round-4 matched run
+    produced R-hat 23 with ZERO divergences: each chain mixed locally
+    (lag-1 |delta|/std 0.25) but sat 9-46 within-stds from the other, because
+    (a) the MAP-Hessian mass underestimates the broad posterior directions
+    (TPU marginal std ~1.5 vs within-chain std ~0.25) and (b) ``nuts_sample``'s
+    default ``adapt_mass=True`` replaced that mass mid-warmup with pooled
+    Welford variance from 2 barely-warmed chains. Neither choice changes the
+    stationary distribution — only mixing — so this mode now:
+
+    * takes the diagonal mass from the EMPIRICAL VARIANCE of the benchmarked
+      TPU run's draws (``--mass-from pcheck_tpu.npz``), elementwise-maxed with
+      the Hessian mass so every dim gets at least the larger of the two
+      scales, and keeps it through warmup (``adapt_mass=False``);
+    * initializes chain 0 at the anchor and the rest at random TPU draws
+      (``--init-from``) — overdispersed across the broad region the TPU
+      ensemble covers, which is exactly what split-R-hat needs to certify;
+    * runs SEGMENTED with a resumable checkpoint (``<out>.ckpt.npz``) written
+      after every segment — ``nuts_warmup``/``nuts_draw`` key randomness off
+      the carry's step counter (fold_in), so a killed run resumes bitwise.
+      Partial draws are also flushed to ``out`` each segment.
+    """
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -200,7 +247,7 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
     import jax.numpy as jnp
 
     from ..sample.api import make_rgp_potential
-    from ..sample.nuts import nuts_sample
+    from ..sample.nuts import nuts_draw, nuts_init, nuts_warmup
     from .sampling import _flagship
 
     cfg, params, Y, U, _, _ = _flagship(0, jnp.float64, params_npz,
@@ -210,26 +257,85 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
     )
     Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
+    mass_src = "hessian"
+    if mass_from is not None:
+        with np.load(mass_from) as z:
+            tdraws = z["draws"].reshape(-1, flat0.shape[0])
+        emp_var = jnp.asarray(tdraws.var(axis=0, ddof=1), flat0.dtype)
+        mass_inv0 = jnp.maximum(emp_var, mass_inv0)
+        mass_src = "max(tpu_draw_var, hessian)"
     key = jax.random.PRNGKey(seed + 1000)
     k_init, k_run = jax.random.split(key)
-    z0 = flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
-        k_init, (chains, flat0.shape[0]), flat0.dtype
-    )
+    if init_from is not None:
+        with np.load(init_from) as z:
+            tdraws = z["draws"].reshape(-1, flat0.shape[0])
+        idx = np.asarray(
+            jax.random.choice(k_init, tdraws.shape[0], (chains,), replace=False)
+        )
+        z0 = jnp.asarray(tdraws[idx], flat0.dtype)
+        z0 = z0.at[0].set(flat0)  # chain 0 from the anchor
+        init_src = "anchor+tpu_draws"
+    else:
+        z0 = flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
+            k_init, (chains, flat0.shape[0]), flat0.dtype
+        )
+        init_src = "anchor+jitter"
+
+    assert warmup % seg == 0 and samples % draw_seg == 0
+    warm = jax.jit(lambda c: nuts_warmup(
+        potential, c, k_run, seg, n_warmup=warmup, max_depth=max_depth,
+        target_accept=target_accept, adapt_mass=False))
+    draw = jax.jit(lambda c: nuts_draw(potential, c, k_run, draw_seg,
+                                       max_depth=max_depth))
+
+    ckpt = out + ".ckpt.npz"
+    carry = nuts_init(z0, n_chains=chains, mass_inv=mass_inv0)
+    draws = np.zeros((chains, 0, flat0.shape[0]))
+    divs = np.zeros((chains, 0), bool)
+    wall_prev = 0.0
+    if os.path.exists(ckpt):
+        carry, draws, divs, wall_prev = _load_carry(ckpt, carry)
+        print(f"resumed from {ckpt}: step {int(carry.step)}, "
+              f"{draws.shape[1]} draws banked", flush=True)
+
+    meta = {"max_depth": max_depth, "target_accept": target_accept,
+            "warmup": warmup}
     t0 = time.perf_counter()
-    res = nuts_sample(
-        potential, z0, k_run, n_samples=samples, n_warmup=warmup,
-        n_chains=chains, max_depth=max_depth, target_accept=target_accept,
-        mass_inv0=mass_inv0,
-    )
-    draws = np.asarray(res.samples)
-    wall = time.perf_counter() - t0
-    np.savez(out, draws=draws, diverging=np.asarray(res.diverging),
-             wall_seconds=wall, max_depth=max_depth,
-             target_accept=target_accept, warmup=warmup)
+
+    def _flush():
+        wall = wall_prev + time.perf_counter() - t0
+        _save_carry(ckpt, carry, draws, divs, wall, meta)
+        np.savez(out, draws=draws, diverging=divs, wall_seconds=wall, **meta)
+        return wall
+
+    while int(carry.step) < warmup:
+        carry = warm(carry)
+        float(carry.zs[0, 0])
+        wall = _flush()
+        print(f"warmup {int(carry.step)}/{warmup} ({wall:.0f}s, "
+              f"eps {float(jnp.exp(carry.da.log_eps)):.4g})", flush=True)
+    while draws.shape[1] < samples:
+        carry, res = draw(carry)
+        draws = np.concatenate([draws, np.asarray(res.samples)], axis=1)
+        divs = np.concatenate([divs, np.asarray(res.diverging)], axis=1)
+        wall = _flush()
+        print(f"draws {draws.shape[1]}/{samples} ({wall:.0f}s)", flush=True)
+
+    wall = wall_prev + time.perf_counter() - t0
+    from ..sample.diagnostics import ess, split_rhat
+
+    r = np.atleast_1d(split_rhat(draws))
+    e = np.atleast_1d(ess(draws))
     return {
-        "mode": "cpu-ref", "out": out, "chains": chains, "samples": samples,
+        "mode": "cpu-ref", "out": out, "chains": chains,
+        "samples": int(draws.shape[1]),
         "warmup": warmup, "wall_seconds": round(wall, 1),
-        "divergence_rate": round(float(np.asarray(res.diverging).mean()), 4),
+        "divergence_rate": round(float(divs.mean()), 4),
+        "max_rhat": round(float(np.nanmax(r)), 4),
+        "min_ess": round(float(np.nanmin(e)), 1),
+        "median_ess": round(float(np.nanmedian(e)), 1),
+        "mass": mass_src, "init": init_src,
+        "step_size": round(float(np.exp(carry.da.log_eps_avg)), 6),
         "x64": True,
     }
 
@@ -314,6 +420,14 @@ def main(argv=None):
     ap.add_argument("--noise-floor", type=float, default=None,
                     help="override RGPConfig.noise_floor (pass 0.0 to match a "
                          "reference chain run on pre-floor code)")
+    ap.add_argument("--mass-from", default=None,
+                    help="cpu-ref: npz of draws whose empirical variance sets "
+                         "the diagonal mass (maxed with the Hessian mass)")
+    ap.add_argument("--init-from", default=None,
+                    help="cpu-ref: npz of draws to initialize chains from "
+                         "(chain 0 stays at the anchor)")
+    ap.add_argument("--draw-seg", type=int, default=4,
+                    help="cpu-ref: draws per checkpointed segment")
     ap.add_argument("--fit-iters", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -329,7 +443,9 @@ def main(argv=None):
         out = mode_cpu_ref(args.params, args.out or "/tmp/pc_cpu.npz",
                            args.chains, args.warmup, args.samples,
                            args.max_depth, args.target_accept, args.seed,
-                           noise_floor=args.noise_floor)
+                           noise_floor=args.noise_floor,
+                           mass_from=args.mass_from, init_from=args.init_from,
+                           seg=args.seg, draw_seg=args.draw_seg)
     else:
         out = mode_compare(args.tpu, args.cpu)
     print(json.dumps(out))

@@ -208,11 +208,15 @@ def _common(kern: Kernel, kp, Z, psi2, noise, jitter: Optional[float],
       Ct = Kt + At                    (pivots >= ~1: f32-safe Cholesky)
       log|B| = log|Ct| - log|Kt|,  tr(Kmm^{-1} Psi2) = tr(Kt^{-1} At)/beta
 
-    ``jitter`` is accepted for API compatibility (the reference's escalating
-    jitchol, `GPy:GPy/util/linalg.py` [H]); the whitened matrices no longer
-    need it. Pass a precomputed :class:`Whitening` as ``W`` to amortize the eigh across
-    training steps (any full-rank W gives the identical bound, so a slightly
-    stale basis changes nothing but conditioning).
+    ``jitter`` (live override, ADVICE r4): when not None it REPLACES the base
+    rung of the whitened Cholesky's escalation ladder — MCMC potentials pass
+    ~1e-3 so the first rung succeeds across the sampled region and the
+    ladder's discrete rung flips (±hundreds-of-nats cliffs) never trigger
+    (see the inline note at the ``jitchol`` call below). ``None`` keeps the
+    dtype-resolved training default. Pass a precomputed :class:`Whitening` as
+    ``W`` to amortize the eigh across training steps (any full-rank W gives
+    the identical bound, so a slightly stale basis changes nothing but
+    conditioning).
     """
     Kmm = kern.K(kp, Z)
     M = Kmm.shape[-1]

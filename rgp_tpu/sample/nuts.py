@@ -428,16 +428,23 @@ def nuts_warmup(
     n_chains = carry.zs.shape[0]
 
     def _mean_over_chains(x):
-        # MEDIAN across chains (mean across devices of per-device medians
-        # when sharded): robust to zero-accept "sink" chains — a chain stuck
-        # where the f32 potential is divergent reports accept ~0 FOREVER, and
-        # with mean pooling a >15% sink fraction caps the pooled statistic
-        # below any reasonable target, death-spiraling the shared step size
-        # (measured, BASELINE.md r4); the median ignores sinks up to 50%
-        m = jnp.median(x)
+        # MEDIAN across ALL chains: robust to zero-accept "sink" chains — a
+        # chain stuck where the f32 potential is divergent reports accept ~0
+        # FOREVER, and with mean pooling a >15% sink fraction caps the pooled
+        # statistic below any reasonable target, death-spiraling the shared
+        # step size (measured, BASELINE.md r4); the median ignores sinks up
+        # to 50%. Under chain sharding the per-chain stats are all_gathered
+        # first so the statistic is the TRUE global median — a pmean of
+        # per-device medians would still be dragged down when sinks cluster
+        # on one device (ADVICE r4). The gather is one scalar per chain per
+        # warmup step: noise next to the leapfrog work.
         if chain_axis is not None:
-            m = lax.pmean(m, chain_axis)
-        return m
+            x = lax.all_gather(x, chain_axis, tiled=True)
+            # every device holds the same gathered array; the pmean of the
+            # identical medians is a no-op numerically and retypes the value
+            # axis-INVARIANT so the scan carry (da state) keeps its type
+            return lax.pmean(jnp.median(x), chain_axis)
+        return jnp.median(x)
 
     def _mean_over_chains_vec(x):
         m = jnp.mean(x, axis=0)

@@ -271,10 +271,12 @@ def fit_minibatch(
             (p, _), losses = jax.lax.scan(step, (p0, state0), (keys, steps_i))
             return p, losses
 
-        n_outer = -(-iters // aux_every)
-        n_pad = n_outer * aux_every
-        keys = jnp.concatenate([keys, keys[: n_pad - iters]], axis=0)
-        steps_pad = jnp.concatenate([steps_i, steps_i[: n_pad - iters]], axis=0)
+        # exactly ``iters`` updates: full aux_every-chunks, then the trailing
+        # partial chunk (if any) as its own shorter inner scan — the former
+        # padding scheme kept applying the padded updates (only losses were
+        # truncated) and reused the first batches' PRNG keys (ADVICE r4)
+        n_full = iters // aux_every
+        rem = iters - n_full * aux_every
 
         def outer(carry, kis):
             p, s = carry
@@ -284,15 +286,28 @@ def fit_minibatch(
             )
             return (p, s), losses
 
-        (p, _), losses = jax.lax.scan(
-            outer,
-            (p0, state0),
-            (
-                keys.reshape(n_outer, aux_every, -1),
-                steps_pad.reshape(n_outer, aux_every),
-            ),
-        )
-        return p, losses.reshape(-1)[:iters]
+        carry, loss_parts = (p0, state0), []
+        if n_full:
+            n_head = n_full * aux_every
+            carry, losses_full = jax.lax.scan(
+                outer,
+                carry,
+                (
+                    keys[:n_head].reshape(n_full, aux_every, -1),
+                    steps_i[:n_head].reshape(n_full, aux_every),
+                ),
+            )
+            loss_parts.append(losses_full.reshape(-1))
+        if rem:
+            p, s = carry
+            aux = aux_fn(p)
+            carry, losses_rem = jax.lax.scan(
+                lambda c, ki: step(c, ki, aux), (p, s),
+                (keys[-rem:], steps_i[-rem:]),
+            )
+            loss_parts.append(losses_rem)
+        p, _ = carry
+        return p, jnp.concatenate(loss_parts)
 
     if jit:
         run = jax.jit(run)

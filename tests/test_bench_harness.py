@@ -42,6 +42,37 @@ def test_harness_svgp_natgrad_smoke():
     assert out["elbo_last"] > out["elbo_first"]
 
 
+def test_rollout_selection_and_provenance_schema():
+    """Round-5 additions (VERDICT r4 next #4/#6): every record carries git
+    provenance + machine-readable degeneracy flags, and ``select="rollout"``
+    scores restarts by a training-tail closed-loop rollout (recorded per
+    restart alongside the ELBO)."""
+    out = harness.run("gas_furnace", "gp_narx", iters=30, num_inducing=8,
+                      restarts=2, select="rollout")
+    assert out["select"] == "rollout"
+    assert len(out["restart_table"]) == 2
+    for row in out["restart_table"]:
+        assert np.isfinite(row["elbo"])
+        assert row["val_rollout_rmse"] is not None
+        assert np.isfinite(row["val_rollout_rmse"])
+    assert out["git_sha"] != "" and "ts" in out
+    assert isinstance(out["degenerate"], bool)
+    assert out["final_noise_min"] is None or out["final_noise_min"] > 0
+    # a 30-iter fit on gas_furnace is healthy: no insane-ELBO flag
+    assert "elbo_insane" not in out["degenerate_reasons"]
+
+
+def test_rollout_selection_rgp_val_fn():
+    """The RGP family's tail-rollout score: q(X) sequences are truncated so
+    freerun rolls out from T-K of the training span — must run and be finite
+    for both the free-form and back-constrained variants."""
+    for method in ("rgp1", "rgp1_mlp"):
+        prep = harness._prepare("gas_furnace")
+        _, _, _, val_fn = harness.METHODS[method](prep, 20, 1e-2, 0, 8)
+        v = float(val_fn())
+        assert np.isfinite(v), method
+
+
 def test_tanks_dataset_and_minibatch_method():
     """Round-4 additions: the depth-benchmark task (tanks) is registered,
     deterministic and finite; the collapsed-minibatch config-4 method runs
