@@ -118,6 +118,18 @@ def _entries(quick: bool):
         ("depth_tanks_gp_narx",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
           "--method", "gp_narx", "--iters", "300" if quick else "2000"], 3600),
+        # rollout-aware selection on the measured failure mode (VERDICT r4
+        # next #6): at 10k iters free-form REVARB optima roll out at the zero
+        # predictor and ELBO-based best-of-N SELECTS them; the training-tail
+        # rollout score is the veto
+        ("depth_tanks_rgp2_rollout_select",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
+          "--method", "rgp2", "--iters", it, "--restarts",
+          "1" if quick else "3", "--select", "rollout"], 7200),
+        ("depth_tanks_rgp1_rollout_select",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "tanks",
+          "--method", "rgp1", "--iters", it, "--restarts",
+          "1" if quick else "3", "--select", "rollout"], 7200),
     ] + [
         # dormant-task certification sweep (VERDICT r4 next #9): the four
         # registry tasks no BASELINE row ever exercised, each with the

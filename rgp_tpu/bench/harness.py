@@ -85,13 +85,19 @@ def _std_rmse(m, target) -> float:
 
 def _method_gp_narx(prep: _Prepared, iters: int, lr: float, seed: int, M: int,
                     kernel_cls=RBF, moment_match: bool = True,
-                    ls_prior_std: float | None = None):
+                    ls_prior_std: float | None = None,
+                    noise_floor: float = 1e-4):
     """``ls_prior_std``: optional mild N(0, std^2) prior on log-lengthscales —
-    the config-3 RBF rollout-basin lever (VERDICT r4 next #5): at M=100/4k
-    iters the unregularized RBF fit shrinks lengthscales into a basin whose
-    moment-matched closed loop amplifies the overfit; a wide log-prior keeps
-    them O(1) without moving the well-behaved optima."""
-    cfg = gp_narx.NARXConfig(kernel=kernel_cls(input_dim=15), num_inducing=M, y_win=10, u_win=5)
+    a config-3 RBF rollout-basin lever (VERDICT r4 next #5). Measured round 5
+    at M=100/4k: it does NOT fix the basin (test freerun 0.626 by ELBO
+    selection) because the mechanism is NOISE collapse, not lengthscale
+    scale per se: every M=100/4k restart drives the raw noise to ~1e-6
+    (machine-flagged by the ``noise_collapsed_to_floor`` degeneracy flag) and
+    the moment-matched closed loop amplifies the resulting interpolator.
+    ``noise_floor`` raises the floor itself — the mechanistically-targeted
+    lever."""
+    cfg = gp_narx.NARXConfig(kernel=kernel_cls(input_dim=15), num_inducing=M,
+                             y_win=10, u_win=5, noise_floor=noise_floor)
     params = gp_narx.init_params(cfg, prep.Y, prep.U, noise=0.1, seed=seed)
     import optax
 
@@ -160,16 +166,24 @@ def _method_rgp(prep, iters, lr, seed, M, wins, back_cstr=False, mlp=()):
 
 
 def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: int,
-                         batch_size: int = 512):
+                         batch_size: int = 512, noise_floor: float = 1e-4):
     """Config 4 (BASELINE.json:10): minibatch SVI on NARX windows with
     interleaved natural-gradient q(u) updates; scored by the same
     free-simulation protocol. The whole minibatch loop (index sampling
-    included) runs in one jit/scan — iters/s here IS the config-4 headline."""
+    included) runs in one jit/scan — iters/s here IS the config-4 headline.
+
+    Round-5: the loss applies the same explicit noise floor as the collapsed
+    routes (and the scored params bake it in) — the round-4 run's recorded
+    pathology (ELBO diverging to -2.25e6, noise at whatever floor you set,
+    freerun worse than the zero predictor) is the unguarded-noise collapse
+    under the stochastic bound, the identical mechanism the minibatch
+    collapsed route floors against (VERDICT r4 next #2c)."""
     import jax
     import optax
 
     from ..data.windows import narx_design
     from ..models import svgp
+    from ..params import positive
 
     y_win, u_win = 10, 5
     X, Yt = narx_design(prep.Y, prep.U, y_win, u_win)
@@ -179,8 +193,13 @@ def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: i
     T_total = X.shape[0]
     bs = min(batch_size, T_total)
 
+    def _floored(p):
+        ln = jnp.log(jnp.expm1(positive(p["log_noise"]) + noise_floor))
+        return {**p, "log_noise": ln}
+
     def loss(p, batch):
-        return -svgp.elbo(cfg, p, batch["X"], batch["Y"], T_total=T_total)
+        return -svgp.elbo(cfg, _floored(p), batch["X"], batch["Y"],
+                          T_total=T_total)
 
     res = train.fit_minibatch(
         loss, params, {"X": X, "Y": Yt},
@@ -206,14 +225,15 @@ def _method_svgp_natgrad(prep: _Prepared, iters: int, lr: float, seed: int, M: i
         # q(u) optimum varies strongly between batches
         natgrad_lr=optax.cosine_decay_schedule(0.1, min(iters, 10000), 0.05),
     )
+    p = _floored(res.params)  # freerun sees the same model the loss trained
     m, v = svgp.freerun_narx(
-        cfg, res.params, y_win, u_win, prep.Y, prep.U, prep.U_test
+        cfg, p, y_win, u_win, prep.Y, prep.U, prep.U_test
     )
 
     def val_fn():
         T = prep.Y.shape[0]
         K = _val_horizon(T)
-        mv, _ = svgp.freerun_narx(cfg, res.params, y_win, u_win,
+        mv, _ = svgp.freerun_narx(cfg, p, y_win, u_win,
                                   prep.Y[: T - K], prep.U[: T - K],
                                   prep.U[T - K:])
         return _std_rmse(mv, prep.Y[T - K:])
@@ -297,7 +317,8 @@ def _method_narx_collapsed_full(prep: _Prepared, iters: int, lr: float,
 
 def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
                            M: int, batch_size: int = 512,
-                           noise_floor: float = 1e-4):
+                           noise_floor: float = 1e-4,
+                           ema: float | None = None):
     """Config 4, collapsed route (VERDICT r3 #1): minibatch the COLLAPSED
     GP-NARX bound through its additive sufficient statistics. Each step
     computes the batch's psi statistics and scales them by T/B — an unbiased
@@ -364,14 +385,83 @@ def _method_narx_minibatch(prep: _Prepared, iters: int, lr: float, seed: int,
             psi1_factor=jnp.sqrt(jnp.asarray(w, psi1_b.dtype)) * psi1_b,
         )
 
-    res = train.fit_minibatch(
-        loss, params, {"X": X, "Y": Yt},
-        iters=iters, batch_size=bs, key=jax.random.PRNGKey(seed),
-        optimizer=optax.chain(
-            optax.clip_by_global_norm(10.0),
-            optax.adam(optax.cosine_decay_schedule(lr, min(iters, 10000), 0.01)),
-        ),
+    opt = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adam(optax.cosine_decay_schedule(lr, min(iters, 10000), 0.01)),
     )
+    if ema is None:
+        res = train.fit_minibatch(
+            loss, params, {"X": X, "Y": Yt},
+            iters=iters, batch_size=bs, key=jax.random.PRNGKey(seed),
+            optimizer=opt,
+        )
+    else:
+        # EMA-SMOOTHED sufficient statistics (round 5, VERDICT r4 next #2c):
+        # the stochastic bound's measured pathology is that log|B| is CONCAVE
+        # in the statistics, so the batch estimator under-counts the
+        # complexity penalty and drives the noise to the floor at EVERY
+        # batch size (measured B in {256,512,1024,2048}: raw noise 4e-6).
+        # The bias scales with the VARIANCE of the statistics, so assemble
+        # the bound at an exponential moving average of the T/B-scaled batch
+        # statistics (effective batch ~ B/(1-ema); EMA'd Psi2 stays PSD as a
+        # convex combination of PSD terms, initialized EXACT with one
+        # full-data pass), with a straight-through estimator so the gradient
+        # still flows through the current batch at full weight:
+        #   used = batch + stop_grad(ema_stats - batch).
+        # Statistics from earlier steps are computed at stale params — the
+        # same stochastic-approximation tradeoff as Hoffman et al. 2013 SVI's
+        # natural-parameter averaging, vanishing as the learning rate decays.
+        def batch_stats(q, Xb, Yb):
+            psi0_b, psi1_b = psi01(kern, q["kern"], q["Z"], Xb, None)
+            return {
+                "psi0": w * jnp.sum(psi0_b),
+                "p1y": w * hdot(psi1_b.T, Yb),
+                "psi2": w * hdot(psi1_b.T, psi1_b),
+                "ysq": w * jnp.sum(Yb ** 2),
+            }
+
+        def run(p0, key0):
+            s0 = opt.init(p0)
+            psi0_f, psi1_f = psi01(kern, p0["kern"], p0["Z"], X, None)
+            es0 = {
+                "psi0": jnp.sum(psi0_f),
+                "p1y": hdot(psi1_f.T, Yt),
+                "psi2": hdot(psi1_f.T, psi1_f),
+                "ysq": jnp.sum(Yt ** 2),
+            }
+
+            def step(carry, k):
+                q, s, es = carry
+                idx = jax.random.randint(k, (bs,), 0, T_total)
+                Xb = X[idx]
+                Yb = Yt[idx]
+
+                def loss_fn(qq):
+                    b = batch_stats(qq, Xb, Yb)
+                    new_es = jax.tree.map(
+                        lambda e, bb: ema * e + (1.0 - ema) * bb, es, b
+                    )
+                    used = jax.tree.map(
+                        lambda bb, ne: bb + jax.lax.stop_gradient(ne - bb),
+                        b, new_es,
+                    )
+                    f = -collapsed_bound_from_suffstats(
+                        kern, qq["kern"], qq["Z"], floored_log_noise(qq),
+                        used["psi0"], used["p1y"], used["psi2"], used["ysq"],
+                        T_total, D,
+                    )
+                    return f, jax.tree.map(jax.lax.stop_gradient, new_es)
+
+                (f, new_es), g = jax.value_and_grad(loss_fn, has_aux=True)(q)
+                u, s = opt.update(g, s, q)
+                return (optax.apply_updates(q, u), s, new_es), f
+
+            keys = jax.random.split(key0, iters)
+            (q, _, _), losses = jax.lax.scan(step, (p0, s0, es0), keys)
+            return q, losses
+
+        p_fit, losses = jax.jit(run)(params, jax.random.PRNGKey(seed))
+        res = train.FitResult(params=p_fit, losses=losses)
     p = dict(res.params)
     p["log_noise"] = floored_log_noise(res.params)  # freerun sees the same model
     m, v = gp_narx.freerun(cfg, p, prep.Y, prep.U, prep.U_test,
@@ -397,6 +487,11 @@ METHODS: Dict[str, Callable] = {
     ),
     "gp_narx_minibatch": lambda prep, iters, lr, seed, M, **kw: _method_narx_minibatch(
         prep, iters, lr, seed, M, **kw
+    ),
+    # EMA-smoothed-statistics variant (round 5): the stochastic collapsed
+    # bound with its small-sample log|B| bias suppressed — see the ema branch
+    "gp_narx_minibatch_ema": lambda prep, iters, lr, seed, M, **kw: _method_narx_minibatch(
+        prep, iters, lr, seed, M, ema=kw.pop("ema", 0.99), **kw
     ),
     "gp_narx_collapsed": lambda prep, iters, lr, seed, M, **kw: _method_narx_collapsed_full(
         prep, iters, lr, seed, M
@@ -573,12 +668,16 @@ def main(argv=None):
                     help="minibatch size for the config-4 methods")
     ap.add_argument("--ls-prior-std", type=float, default=None,
                     help="mild N(0,std^2) prior on log-lengthscales (gp_narx)")
+    ap.add_argument("--noise-floor", type=float, default=None,
+                    help="noise-variance floor override (gp_narx)")
     args = ap.parse_args(argv)
     kw = {}
     if args.batch_size is not None:
         kw["batch_size"] = args.batch_size
     if args.ls_prior_std is not None:
         kw["ls_prior_std"] = args.ls_prior_std
+    if args.noise_floor is not None:
+        kw["noise_floor"] = args.noise_floor
     out = run(
         args.task, args.method, iters=args.iters, lr=args.lr, seed=args.seed,
         num_inducing=args.num_inducing, restarts=args.restarts,

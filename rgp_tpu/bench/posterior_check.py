@@ -340,6 +340,71 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
     }
 
 
+def mode_surrogate_check(params_npz: str, tpu_npz: str,
+                         ref_npz: str | None = None, n_points: int = 4) -> dict:
+    """Round-5 diagnostic (the round-4 compare failure's root cause): evaluate
+    the TRUE bound (f64, fresh per-eval whitening) and the benchmarked
+    SURROGATE (frozen whitening basis at the anchor; f32 and f64 variants) at
+    the anchor, at TPU draws, and at reference-chain positions.
+
+    Measured on the round-4 artifacts (premature 300-iter anchor): f32-frozen
+    == f64-frozen to ~0.3 nats everywhere (dtype is NOT the discrepancy), and
+    frozen == fresh at the anchor — but the f64-fresh potential favors a
+    deep-noise region ~300 nats BELOW the TPU-sampled region, where the
+    frozen surrogate is off by ~400-600 nats (the frozen spectral floor goes
+    active away from the anchor). The sampler faithfully samples its
+    surrogate; the surrogate is only the true posterior near the anchor —
+    so the anchor must be a CONVERGED optimum for the benchmarked
+    configuration to be valid."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from ..sample.api import make_rgp_potential
+    from .sampling import _flagship
+
+    cfg, p64, Y, U, _, _ = _flagship(0, jnp.float64, params_npz)
+    fresh, flat64, _ = make_rgp_potential(
+        cfg, p64, Y, U, block=64, psi_prefer="scan", fixed_whitening=False)
+    frozen64, _, _ = make_rgp_potential(
+        cfg, p64, Y, U, block=64, psi_prefer="scan", fixed_whitening=True)
+    cfg32, p32, Y32, U32, _, _ = _flagship(0, jnp.float32, params_npz)
+    frozen32, _, _ = make_rgp_potential(
+        cfg32, p32, Y32, U32, block=32, psi_prefer="scan", fixed_whitening=True)
+    fresh, frozen64, frozen32 = map(jax.jit, (fresh, frozen64, frozen32))
+
+    pts = {"anchor": np.asarray(flat64)}
+    with np.load(tpu_npz) as z:
+        d = z["draws"].reshape(-1, flat64.shape[0])
+    rng = np.random.default_rng(7)
+    for j, i in enumerate(rng.choice(d.shape[0], n_points, replace=False)):
+        pts[f"tpu_draw_{i}"] = d[i]
+    if ref_npz is not None:
+        with np.load(ref_npz) as z:
+            dr = z["draws"]
+        for c in range(min(4, dr.shape[0])):
+            pts[f"ref_chain{c}_last"] = dr[c, -1]
+    rows = []
+    for k, v in pts.items():
+        u_fresh = float(fresh(jnp.asarray(v, jnp.float64)))
+        u_fr64 = float(frozen64(jnp.asarray(v, jnp.float64)))
+        u_fr32 = float(frozen32(jnp.asarray(v, jnp.float32)))
+        rows.append({"point": k, "U_f64_fresh": round(u_fresh, 2),
+                     "U_f64_frozen": round(u_fr64, 2),
+                     "U_f32_frozen": round(u_fr32, 2),
+                     "surrogate_gap": round(u_fr64 - u_fresh, 2),
+                     "dtype_gap": round(u_fr32 - u_fr64, 2)})
+    gaps = [abs(r["surrogate_gap"]) for r in rows]
+    return {"mode": "surrogate-check", "points": rows,
+            "max_abs_surrogate_gap": round(max(gaps), 2),
+            "max_abs_dtype_gap": round(max(abs(r["dtype_gap"]) for r in rows), 2)}
+
+
 def mode_compare(tpu_npz: str, cpu_npz: str) -> dict:
     from ..sample.diagnostics import ess, split_rhat
 
@@ -400,7 +465,8 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("fit", "tpu", "cpu-ref", "compare"),
+    ap.add_argument("--mode", choices=("fit", "tpu", "cpu-ref", "compare",
+                                       "surrogate-check"),
                     required=True)
     ap.add_argument("--params", default="/tmp/pc_params.npz")
     ap.add_argument("--out", default=None)
@@ -446,6 +512,8 @@ def main(argv=None):
                            noise_floor=args.noise_floor,
                            mass_from=args.mass_from, init_from=args.init_from,
                            seg=args.seg, draw_seg=args.draw_seg)
+    elif args.mode == "surrogate-check":
+        out = mode_surrogate_check(args.params, args.tpu, ref_npz=args.cpu)
     else:
         out = mode_compare(args.tpu, args.cpu)
     print(json.dumps(out))

@@ -109,7 +109,9 @@ def _flagship(fit_iters: int, dtype, params_npz: str | None = None,
 def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
                fit_iters: int, seed: int = 0, group_size: int = 128,
                block: int = 32, target_accept: float = 0.6, seg: int = 3,
-               shared_warmup: bool = False, params_npz: str | None = None) -> dict:
+               shared_warmup: bool = False, params_npz: str | None = None,
+               warmup_depth: int | None = None,
+               init_eps: float = 0.1) -> dict:
     """Chains are processed in groups of ``group_size`` (``chains`` must be a
     multiple — asserted; ADVICE r3). Default protocol (VERDICT r3 #3): every
     group warms up INDEPENDENTLY — own initial jitter, own dual-averaging /
@@ -128,6 +130,23 @@ def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
     only trim the ~50 ms/call dispatch overhead), hence seg=3 keeps calls
     ~15 s with ~1% dispatch overhead. ``warmup % seg == 0`` is asserted
     (ADVICE r3: a trailing partial segment would silently run extra steps).
+
+    Warmup-cost levers (VERDICT r4 next #7 — the group loop is already
+    pipelined by async dispatch; what makes warmup slow is EARLY transitions
+    saturating the depth cap at 2^depth-1 leapfrogs while eps is still tiny):
+
+    * ``init_eps``: dual-averaging starting step size. Starting near the
+      adapted optimum (~0.9 on this potential, round-4 record) instead of
+      0.1 skips the expensive small-eps phase — a too-LARGE eps is cheap
+      (divergent trees terminate after a few leaves) while a too-small one
+      runs full saturated trees.
+    * ``warmup_depth``: depth cap during warmup only (draws keep
+      ``max_depth``). Caps the worst-case warmup tree at 2^d-1 leapfrogs;
+      once eps adapts to its healthy value, trees U-turn below the cap
+      anyway, so the binding phase is exactly the wasteful one. Warmup is
+      adaptation, not inference — draw-phase semantics are unchanged, and
+      the draw-phase diagnostics (accept/divergence/R-hat/ESS) certify the
+      adaptation was sound.
     """
     import numpy as np
     import jax
@@ -162,21 +181,24 @@ def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
             kg, (wc, flat0.shape[0]), flat0.dtype
         )
 
+    w_depth = max_depth if warmup_depth is None else warmup_depth
     warm = jax.jit(
         lambda c, off: nuts_warmup(
-            potential, c, k_warm, seg, n_warmup=warmup, max_depth=max_depth,
+            potential, c, k_warm, seg, n_warmup=warmup, max_depth=w_depth,
             target_accept=target_accept, chain_offset=off,
         )
     )
     # compile both executables before timing
-    carry = warm(nuts_init(group_z0(0), n_chains=wc, mass_inv=mass_inv0), 0)
+    carry = warm(nuts_init(group_z0(0), n_chains=wc, mass_inv=mass_inv0,
+                           step_size=init_eps), 0)
     float(carry.zs[0, 0])
 
     n_warm_groups = 1 if shared_warmup else n_groups
     group_carries = []
     t0 = time.perf_counter()
     for g in range(n_warm_groups):
-        c = nuts_init(group_z0(g), n_chains=wc, mass_inv=mass_inv0)
+        c = nuts_init(group_z0(g), n_chains=wc, mass_inv=mass_inv0,
+                      step_size=init_eps)
         for _ in range(0, warmup, seg):
             c = warm(c, g * wc)
         group_carries.append(c)
@@ -218,6 +240,8 @@ def bench_nuts(chains: int, warmup: int, samples: int, max_depth: int,
         "n_warmup": warmup,
         "warmup_seg": seg,
         "max_depth": max_depth,
+        "warmup_depth": w_depth,
+        "init_eps": init_eps,
         "target_accept": target_accept,
         "draw_seconds": round(t_draw, 2),
         "warmup_seconds": round(t_warm, 2),
@@ -313,6 +337,11 @@ def main(argv=None):
                          "ceiling (~0.72 on the flagship; BASELINE.md r4)")
     ap.add_argument("--seg", type=int, default=3,
                     help="warmup steps per device call (watchdog bound)")
+    ap.add_argument("--warmup-depth", type=int, default=None,
+                    help="NUTS depth cap during warmup only (draws keep "
+                         "--max-depth); caps the wasteful small-eps phase")
+    ap.add_argument("--init-eps", type=float, default=0.1,
+                    help="dual-averaging starting step size")
     ap.add_argument("--shared-warmup", action="store_true",
                     help="round-3 shortcut: one warmed group copied to all")
     ap.add_argument("--params-npz", default=None,
@@ -327,7 +356,9 @@ def main(argv=None):
                          group_size=args.group_size,
                          target_accept=args.target_accept, seg=args.seg,
                          shared_warmup=args.shared_warmup,
-                         params_npz=args.params_npz)
+                         params_npz=args.params_npz,
+                         warmup_depth=args.warmup_depth,
+                         init_eps=args.init_eps)
     else:
         out = bench_smc(args.particles, args.fit_iters, args.seed)
     print(json.dumps(out))

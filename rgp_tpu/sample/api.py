@@ -92,12 +92,19 @@ def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
     at the anchor ``params`` instead of running a fresh ``eigh`` per layer per
     potential evaluation. The bound is W-invariant for any full-rank basis
     (``whitening_basis`` docstring), so the potential surface is unchanged
-    wherever the frozen spectral floor stays inactive; what degrades away from
-    the anchor is only the conditioning of the whitened Cholesky, which the
-    jitchol ladder absorbs. Measured effect: batched eigh dominates the
-    many-chain leapfrog on TPU (eigh is sequential-iterative; M=100 x 1024
-    chains per gradient eval), so fixing the basis is the difference between
-    the sampler being eigh-bound and exp-bound."""
+    wherever the frozen spectral floor stays inactive. Measured effect:
+    batched eigh dominates the many-chain leapfrog on TPU (eigh is
+    sequential-iterative; M=100 x 1024 chains per gradient eval), so fixing
+    the basis is the difference between the sampler being eigh-bound and
+    exp-bound.
+
+    VALIDITY CONDITION (measured, round 5): the anchor must be a CONVERGED
+    optimum. With a premature anchor (300-iter fit) the true posterior mass
+    sits ~300 nats below the anchor's neighborhood, where the frozen floor is
+    ACTIVE and the surrogate is off by 400-600 nats — the sampler then
+    faithfully samples a surrogate posterior that materially differs from the
+    true one (``posterior_check --mode surrogate-check`` regenerates the
+    table; dtype contributes <1 nat, the frozen basis all the rest)."""
     hyper0 = split_hypers(params)
     flat0, unravel = ravel(hyper0)
     Y = jnp.asarray(Y)

@@ -67,9 +67,10 @@ def test_inducing_sharded_elbo_value_and_grad(rng):
 
 def test_inducing_sharded_certain_inputs(rng):
     kern, params, X_mu, _, Y = _problem(rng, uncertain=False)
-    # 4-way mesh: the M-axis sharding semantics are device-count-independent
-    # and the shard_map compile storm halves vs 8 (fast-lane budget, r3 #7)
-    m = pmesh.make_mesh(data=4)
+    # 2-way mesh: the M-axis sharding semantics are device-count-independent
+    # and the shard_map compile storm scales with device count (fast-lane
+    # budget, r3 #7 / r4 #8); the 8-way case runs in the slow-lane test above
+    m = pmesh.make_mesh(data=2)
     ref = float(_ref_bound(kern, params, X_mu, None, Y))
     out = float(
         inducing_sharded_collapsed_elbo(

@@ -42,7 +42,7 @@ def test_sample_nuts_on_rgp():
     cfg, params, Y, U, _, _ = _trained_model_cached()
     res = api.sample_nuts(
         cfg, params, Y, U, jax.random.PRNGKey(0),
-        n_samples=20, n_warmup=60, n_chains=2, max_depth=5, step_size=0.02,
+        n_samples=10, n_warmup=40, n_chains=2, max_depth=4, step_size=0.02,
     )
     assert np.isfinite(np.asarray(res.samples)).all()
     assert np.asarray(res.accept_prob).mean() > 0.4
