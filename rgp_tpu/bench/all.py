@@ -93,6 +93,27 @@ def _entries(quick: bool):
         ("config4_svgp_natgrad_long_corpus",
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
           "--method", "svgp_natgrad", "--iters", it4], 7200),
+        # same SVGP training run scored through the exact full-data collapsed
+        # posterior at the learned hyperparameters (collapse-at-eval): isolates
+        # q(u)-lag from bad hyperparameters in the config-4 SVI story
+        ("config4_svgp_natgrad_collapsed",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "svgp_natgrad_collapsed", "--iters", it4], 7200),
+        # config-4 minibatch at a floor matched to the measured bias: the
+        # stochastic log|B| bias drives the noise to ANY floor, so the floor
+        # IS the noise estimate — 1e-3 (-30 dB on standardized data) keeps the
+        # model honest where 1e-4 leaves a near-interpolator
+        ("config4_narx_minibatch_floor1e3",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "long_corpus",
+          "--method", "gp_narx_minibatch", "--iters", it4,
+          "--noise-floor", "1e-3"], 7200),
+        # config-3 basin probe at the mechanistically-targeted lever (VERDICT
+        # r4 next #5): the M=100/4k RBF rollout basin's measured mechanism is
+        # noise collapse (every restart pins raw noise ~1e-6); raise the floor
+        ("config3_gp_narx_M100_4k_floor1e3",
+         [sys.executable, "-m", "rgp_tpu.bench", "--task", "actuator",
+          "--method", "gp_narx", "--iters", "4000", "--num-inducing", "100",
+          "--noise-floor", "1e-3"], 3600),
         ("config5_nuts",
          [sys.executable, "-m", "rgp_tpu.bench.sampling", "--what", "nuts"]
          + nuts, 10800),
