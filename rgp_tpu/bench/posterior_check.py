@@ -252,8 +252,13 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
 
     cfg, params, Y, U, _, _ = _flagship(0, jnp.float64, params_npz,
                                         noise_floor=noise_floor)
+    # fresh_ladder=False: the reference recomputes the whitening basis every
+    # evaluation, so the floor-escalation ladder's discrete pass/fail trial
+    # must be pinned or the potential has ~1-nat cliffs that crush the dual
+    # averaging (measured round 5; see make_rgp_potential docstring)
     potential, flat0, _ = make_rgp_potential(
-        cfg, params, Y, U, block=64, psi_prefer="scan", fixed_whitening=False
+        cfg, params, Y, U, block=64, psi_prefer="scan", fixed_whitening=False,
+        fresh_ladder=False,
     )
     Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
@@ -262,8 +267,17 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
         with np.load(mass_from) as z:
             tdraws = z["draws"].reshape(-1, flat0.shape[0])
         emp_var = jnp.asarray(tdraws.var(axis=0, ddof=1), flat0.dtype)
-        mass_inv0 = jnp.maximum(emp_var, mass_inv0)
-        mass_src = "max(tpu_draw_var, hessian)"
+        # empirical variance ALONE (round-5 fix, measured): the earlier
+        # max(emp_var, hessian) kept the f64 Hessian's near-flat dims at
+        # mass_inv ~500-1e4 while the posterior's true marginal variances are
+        # <=2.7 — momenta along those dims overshoot, the energy error pins
+        # acceptance below target, and dual averaging crushed eps to 4e-3 by
+        # warmup step 24 (vs the TPU's 0.5 on the same anchor). The TPU
+        # ensemble is well-mixed (R-hat 1.06, ESS>=2840), so its per-dim
+        # variance IS the textbook diagonal mass; floor it only against
+        # degenerate zero-variance dims.
+        mass_inv0 = jnp.maximum(emp_var, 1e-6)
+        mass_src = "tpu_draw_var"
     key = jax.random.PRNGKey(seed + 1000)
     k_init, k_run = jax.random.split(key)
     if init_from is not None:

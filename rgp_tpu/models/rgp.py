@@ -373,7 +373,8 @@ def elbo(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
     return total
 
 
-def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128):
+def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 128,
+                       ladder: bool = True):
     """Fresh per-layer spectral whitening bases (H+1 tuple; see
     :func:`~rgp_tpu.inference.collapsed_vi.whitening_basis`).
 
@@ -382,7 +383,17 @@ def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 1
     A stale basis still yields a valid ELBO of a nearby clamp-regularized
     model — only the conditioning of the whitened matrices degrades as the
     hyperparameters drift, which the next refresh restores.
-    """
+
+    ``ladder=False`` pins the spectral floor at its deterministic base value
+    (no f32 trial-Cholesky escalation; the psi pass is skipped entirely).
+    Required when the basis is recomputed INSIDE a sampler potential each
+    evaluation: the escalation's pass/fail trial flips discretely with
+    position, which puts ~1-nat cliffs into an otherwise smooth potential
+    (measured round 5: fresh-basis f64 leapfrog energy error 0.001-0.9 nats
+    at eps=0.002 vs 1e-8 for a fixed basis — the dual averaging then crushes
+    eps to ~4e-3 and the reference chain cannot mix). In f64 the ladder is
+    also unnecessary: it guards against f32 Psi2 rounding making the whitened
+    Ct indefinite."""
     from ..inference.collapsed_vi import whitening_basis
     from ..params import positive as _positive
 
@@ -394,19 +405,25 @@ def compute_whitenings(cfg: RGPConfig, params, Y, U, *, block: Optional[int] = 1
     for h, spec in enumerate(cfg.layers):
         lp = params["layers"][h]
         L = spec.win
-        X_mu, X_s = _layer_inputs(cfg, h, mus[h], lams[h], mu_lower_t, lam_lower_t, U)
-        stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
         Kmm = spec.kernel.K(lp["kern"], lp["Z"])
-        out.append(
-            whitening_basis(Kmm, stats.psi2, 1.0 / _positive(_fln(cfg, lp["log_noise"])))
-        )
+        if ladder:
+            X_mu, X_s = _layer_inputs(cfg, h, mus[h], lams[h], mu_lower_t, lam_lower_t, U)
+            stats = psi_statistics(spec.kernel, lp["kern"], lp["Z"], X_mu, X_s, block=block)
+            out.append(
+                whitening_basis(Kmm, stats.psi2, 1.0 / _positive(_fln(cfg, lp["log_noise"])))
+            )
+        else:
+            out.append(whitening_basis(Kmm))
         mu_lower_t, lam_lower_t = mus[h][L:], lams[h][L:]
     op = params["out"]
-    Xo_mu = current_window(mu_lower_t, cfg.out_win)
-    Xo_s = current_window(lam_lower_t, cfg.out_win)
-    stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
     Kmm = cfg.out_kernel.K(op["kern"], op["Z"])
-    out.append(whitening_basis(Kmm, stats.psi2, 1.0 / _positive(_fln(cfg, op["log_noise"]))))
+    if ladder:
+        Xo_mu = current_window(mu_lower_t, cfg.out_win)
+        Xo_s = current_window(lam_lower_t, cfg.out_win)
+        stats = psi_statistics(cfg.out_kernel, op["kern"], op["Z"], Xo_mu, Xo_s, block=block)
+        out.append(whitening_basis(Kmm, stats.psi2, 1.0 / _positive(_fln(cfg, op["log_noise"]))))
+    else:
+        out.append(whitening_basis(Kmm))
     return tuple(out)
 
 

@@ -71,7 +71,8 @@ def merge_hypers(params, hyper):
 
 def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
                        psi_prefer: str = "auto", fixed_whitening: bool = False,
-                       chol_jitter: Optional[float] = 1e-3):
+                       chol_jitter: Optional[float] = 1e-3,
+                       fresh_ladder: bool = True):
     """-> (potential_fn over flat unconstrained vector, initial vector, unravel).
 
     ``psi_prefer="scan"`` + small ``block``: REQUIRED when the potential will
@@ -98,6 +99,18 @@ def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
     the basis is the difference between the sampler being eigh-bound and
     exp-bound.
 
+    ``fresh_ladder`` (only meaningful with ``fixed_whitening=False``): keep
+    the spectral-floor escalation ladder in the per-evaluation whitening.
+    Pass False for REFERENCE chains that recompute the basis every potential
+    evaluation — the ladder's f32 trial-Cholesky pass/fail decision flips
+    discretely with position, putting ~1-nat cliffs into the potential
+    (measured round 5: leapfrog energy error 0.001-0.9 nats at eps=0.002
+    under the laddered fresh basis vs 1e-8 frozen; dual averaging then
+    crushed eps to 4e-3 and the f64 reference could not mix). With
+    ``fresh_ladder=False`` the basis is deterministic-floor
+    (:func:`whitening_basis` without the psi2 trial) and the potential is
+    smooth; in f64 the ladder's f32-rounding rationale does not apply.
+
     VALIDITY CONDITION (measured, round 5): the anchor must be a CONVERGED
     optimum. With a premature anchor (300-iter fit) the true posterior mass
     sits ~300 nats below the anchor's neighborhood, where the frozen floor is
@@ -117,8 +130,12 @@ def make_rgp_potential(cfg, params, Y, U, *, prior_std: float = 3.0, block=None,
 
     def potential(v):
         p = merge_hypers(params, unravel(v))
+        wh_eval = wh
+        if wh_eval is None and not fresh_ladder:
+            wh_eval = rgp.compute_whitenings(cfg, p, Y, U, block=block,
+                                             ladder=False)
         lp = rgp.elbo(cfg, p, Y, U, block=block, psi_prefer=psi_prefer,
-                      whitening=wh, chol_jitter=chol_jitter)
+                      whitening=wh_eval, chol_jitter=chol_jitter)
         log_prior = -0.5 * jnp.sum((v / prior_std) ** 2)
         return -(lp + log_prior)
 
