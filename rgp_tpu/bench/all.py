@@ -114,8 +114,14 @@ def _entries(quick: bool):
          [sys.executable, "-m", "rgp_tpu.bench", "--task", "actuator",
           "--method", "gp_narx", "--iters", "4000", "--num-inducing", "100",
           "--noise-floor", "1e-3"], 3600),
+        # --params-npz: sample at the COMMITTED converged anchor. A fresh
+        # 300-iter fit is a premature anchor, and this round's refresh at one
+        # death-spiraled (eps -> 0.0, 38% divergence, R-hat 86) exactly as the
+        # make_rgp_potential validity condition predicts; the same protocol at
+        # the 10k anchor adapts eps ~0.5 with R-hat 1.057
         ("config5_nuts",
-         [sys.executable, "-m", "rgp_tpu.bench.sampling", "--what", "nuts"]
+         [sys.executable, "-m", "rgp_tpu.bench.sampling", "--what", "nuts",
+          "--params-npz", "artifacts/pcheck_params_r5.npz"]
          + nuts, 10800),
         ("config5_smc",
          [sys.executable, "-m", "rgp_tpu.bench.sampling", "--what", "smc",
