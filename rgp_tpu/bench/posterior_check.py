@@ -212,7 +212,8 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
                  samples: int, max_depth: int, target_accept: float,
                  seed: int, noise_floor: float | None = None,
                  mass_from: str | None = None, init_from: str | None = None,
-                 seg: int = 8, draw_seg: int = 4) -> dict:
+                 seg: int = 8, draw_seg: int = 4,
+                 frozen_basis: bool = False) -> dict:
     """Exact f64 reference: fresh whitening every evaluation, scan psi (same
     math as dense, f64 accumulation), no watchdog on CPU.
 
@@ -252,13 +253,27 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
 
     cfg, params, Y, U, _, _ = _flagship(0, jnp.float64, params_npz,
                                         noise_floor=noise_floor)
-    # fresh_ladder=False: the reference recomputes the whitening basis every
-    # evaluation, so the floor-escalation ladder's discrete pass/fail trial
-    # must be pinned or the potential has ~1-nat cliffs that crush the dual
-    # averaging (measured round 5; see make_rgp_potential docstring)
+    # Two reference targets (round 5 — the choice IS the sampled model):
+    #
+    # * frozen_basis=True — MATCHED-POLICY reference: the same frozen-anchor
+    #   whitened bound the TPU sampler uses, evaluated in f64 with fresh
+    #   per-eval everything else. Smooth (leapfrog dH ~1e-8 at eps 2e-3,
+    #   measured) and the same regularization policy training optimized, so
+    #   the compare validates dtype + psi dispatch + grouped dispatch +
+    #   warmup protocol on ONE well-defined model.
+    # * frozen_basis=False — fresh basis at the PINNED base floor
+    #   (fresh_ladder=False: the production ladder's discrete trial makes the
+    #   fresh potential cliffy and unsampleable, measured). This REMOVES
+    #   regularization the production policy applies: measured on the 10k
+    #   anchor, it unwalls a low-noise funnel ~275 nats deeper than the
+    #   anchor optimum (reference chains migrate there with zero
+    #   divergences; the frozen surrogate reads +300-900 nats at those
+    #   positions) — i.e. it samples a DIFFERENT, collapse-prone model, the
+    #   posterior-space face of the noise-collapse basins the round-5
+    #   noise-floor work characterized in training space.
     potential, flat0, _ = make_rgp_potential(
-        cfg, params, Y, U, block=64, psi_prefer="scan", fixed_whitening=False,
-        fresh_ladder=False,
+        cfg, params, Y, U, block=64, psi_prefer="scan",
+        fixed_whitening=frozen_basis, fresh_ladder=False,
     )
     Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
@@ -313,7 +328,7 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
               f"{draws.shape[1]} draws banked", flush=True)
 
     meta = {"max_depth": max_depth, "target_accept": target_accept,
-            "warmup": warmup}
+            "warmup": warmup, "frozen_basis": frozen_basis}
     t0 = time.perf_counter()
 
     def _flush():
@@ -350,7 +365,7 @@ def mode_cpu_ref(params_npz: str, out: str, chains: int, warmup: int,
         "median_ess": round(float(np.nanmedian(e)), 1),
         "mass": mass_src, "init": init_src,
         "step_size": round(float(np.exp(carry.da.log_eps_avg)), 6),
-        "x64": True,
+        "x64": True, "frozen_basis": frozen_basis,
     }
 
 
@@ -508,6 +523,9 @@ def main(argv=None):
                          "(chain 0 stays at the anchor)")
     ap.add_argument("--draw-seg", type=int, default=4,
                     help="cpu-ref: draws per checkpointed segment")
+    ap.add_argument("--frozen-basis", action="store_true",
+                    help="cpu-ref: matched-policy reference on the frozen-"
+                         "anchor whitened bound (see mode_cpu_ref comments)")
     ap.add_argument("--fit-iters", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -525,7 +543,8 @@ def main(argv=None):
                            args.max_depth, args.target_accept, args.seed,
                            noise_floor=args.noise_floor,
                            mass_from=args.mass_from, init_from=args.init_from,
-                           seg=args.seg, draw_seg=args.draw_seg)
+                           seg=args.seg, draw_seg=args.draw_seg,
+                           frozen_basis=args.frozen_basis)
     elif args.mode == "surrogate-check":
         out = mode_surrogate_check(args.params, args.tpu, ref_npz=args.cpu)
     else:
