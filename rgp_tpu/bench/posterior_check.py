@@ -75,14 +75,24 @@ def mode_fit(out: str, fit_iters: int) -> dict:
 def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
              max_depth: int, target_accept: float, group_size: int, seg: int,
              seed: int, noise_floor: float | None = None,
-             adapt_mass: bool = False) -> dict:
+             adapt_mass: bool = False, init_from: str | None = None,
+             mass_from: str | None = None) -> dict:
     """The benchmarked configuration, retaining draws (positions).
 
     ``adapt_mass`` defaults OFF: the MAP-Hessian diagonal mass is kept
     through warmup — the pooled-Welford switch replaces it with between-chain
     spread estimated from barely-warmed chains (measured round 4: the switch
     multiplies mass_inv_max ~10x and the reset dual averaging has too few
-    steps left to recover)."""
+    steps left to recover).
+
+    ``init_from``/``mass_from`` (round 5): initialize chains from draws in an
+    npz / take the diagonal mass from their empirical variance — the
+    overdispersed-initialization protocol. Measured necessity: anchor-local
+    jittered inits leave the WHOLE 256-chain ensemble metastable in a shell
+    ~270 nats above the posterior bulk of its own target (the matched-policy
+    f64 reference, initialized from this run's draws, migrates there within
+    ~190 NUTS steps), and split-R-hat across identically-initialized chains
+    cannot detect it."""
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +113,24 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
 
     Hd = jnp.diag(jax.jit(jax.hessian(potential))(flat0))
     mass_inv0 = 1.0 / jnp.clip(jnp.abs(Hd), 1e-4, 1e14)
+    if mass_from is not None:
+        with np.load(mass_from) as z:
+            mdraws = z["draws"].reshape(-1, flat0.shape[0])
+        mass_inv0 = jnp.maximum(
+            jnp.asarray(mdraws.var(axis=0, ddof=1), flat0.dtype), 1e-6
+        )
+    init_pool = None
+    if init_from is not None:
+        with np.load(init_from) as z:
+            init_pool = z["draws"].reshape(-1, flat0.shape[0])
+
+    def _group_init(kg, wc_):
+        if init_pool is None:
+            return flat0[None, :] + _jit_scale(mass_inv0)[None, :] * \
+                jax.random.normal(kg, (wc_, flat0.shape[0]), flat0.dtype)
+        idx = np.asarray(jax.random.choice(
+            kg, init_pool.shape[0], (wc_,), replace=init_pool.shape[0] < wc_))
+        return jnp.asarray(init_pool[idx], flat0.dtype)
 
     warm = jax.jit(
         lambda c, off: nuts_warmup(
@@ -117,9 +145,7 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
     )
     # compile both executables before timing
     c0 = nuts_init(
-        flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
-            jax.random.fold_in(k_init, 0), (wc, flat0.shape[0]), flat0.dtype
-        ),
+        _group_init(jax.random.fold_in(k_init, 0), wc),
         n_chains=wc, mass_inv=mass_inv0,
     )
     c0 = warm(c0, 0)
@@ -133,10 +159,7 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
     all_acc = []
     eps_groups = []
     for g in range(n_groups):
-        kg = jax.random.fold_in(k_init, g)
-        z0 = flat0[None, :] + _jit_scale(mass_inv0)[None, :] * jax.random.normal(
-            kg, (wc, flat0.shape[0]), flat0.dtype
-        )
+        z0 = _group_init(jax.random.fold_in(k_init, g), wc)
         tw = time.perf_counter()
         c = nuts_init(z0, n_chains=wc, mass_inv=mass_inv0)
         for _ in range(0, warmup, seg):
@@ -182,6 +205,8 @@ def mode_tpu(params_npz: str, out: str, chains: int, warmup: int, samples: int,
         "min_ess_positions": round(float(np.nanmin(e_pos)), 1),
         "median_ess_positions": round(float(np.nanmedian(e_pos)), 1),
         "target_accept": target_accept, "max_depth": max_depth,
+        "init": "anchor+jitter" if init_from is None else f"draws:{init_from}",
+        "mass": "hessian" if mass_from is None else f"emp_var:{mass_from}",
     }
 
 
@@ -536,7 +561,8 @@ def main(argv=None):
         out = mode_tpu(args.params, args.out or "/tmp/pc_tpu.npz", args.chains,
                        args.warmup, args.samples, args.max_depth,
                        args.target_accept, args.group_size, args.seg, args.seed,
-                       noise_floor=args.noise_floor, adapt_mass=args.adapt_mass)
+                       noise_floor=args.noise_floor, adapt_mass=args.adapt_mass,
+                       init_from=args.init_from, mass_from=args.mass_from)
     elif args.mode == "cpu-ref":
         out = mode_cpu_ref(args.params, args.out or "/tmp/pc_cpu.npz",
                            args.chains, args.warmup, args.samples,
